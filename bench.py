@@ -1,0 +1,87 @@
+"""Benchmark driver: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() (no driver-side collect of payloads).
+Set SPARK_GRAFT_BENCH_EXTRACT=1 to also run the extraction-pipeline
+throughput benchmark on a generated synthetic page corpus (reported as
+extract_docs_per_sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_spark.plans import QUERIES, load_all
+from ocr_spark.session import build_session, default_parallelism
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_topk_per_group",
+    "q08_running_total",
+    "q09_sessionize",
+    "q10_top_orders",
+    "q13_distinct_agg",
+    "q14_rollup",
+    "q16_date_json_funcs",
+    "q19_tumbling_window",
+    "q20_asof_join",
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "t02_quality_score",
+    "t04_fingerprint",
+    "e01_knn_bruteforce",
+    "e03_centroid_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = default_parallelism()
+    load_all()
+    spark = build_session("ocr_spark_bench", cores=cores)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        # warm the reader metadata outside the timed section on first query only
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    extract_rate = None
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTRACT", "0") == "1":
+        from ocr_spark.extract.bench import extraction_throughput
+
+        extract_rate = extraction_throughput(spark)
+        timings["x01_extract_docs_per_sec"] = extract_rate
+
+    total = round(sum(v for k, v in timings.items() if k.startswith(("q", "d", "t", "e"))), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

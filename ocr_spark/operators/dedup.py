@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a registered catalog query over `documents`:
+  d01 exact        — content-hash groupBy (one shuffle on the hash)
+  d02 ngram-jaccard— exact pairwise Jaccard over word 3-gram shingles
+                     (shingle-explode + self-join; the *verifier*, not the
+                     scale path — candidate generation at 100 TB is d03)
+  d03 minhash-LSH  — banded MinHash: candidates meet only if a band
+                     collides, then exact-Jaccard verify on candidates
+                     only. This is the 100 TB path: cost is O(docs ×
+                     shingles) for signatures plus the (tiny) candidate
+                     join, never O(docs²).
+  d04 simhash      — 60-bit per-doc fingerprint computed entirely with
+                     array higher-order functions: zero shuffle, zero
+                     Python.
+
+All hashes are md5-derived (functions.text.hex60) so the DuckDB oracle
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import (
+    SHINGLES3_SQL,
+    TOKENS_SQL,
+    hex60,
+    hex60_sql,
+    norm_tokens,
+    shingles3,
+)
+from ocr_spark.plans import register
+from ocr_spark.sources.io import load_table
+
+JACCARD_THRESHOLD = 0.10
+MINHASH_K = 16  # 4 bands x 4 rows
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash with the smallest key as canonical."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(key_col))
+        .groupBy("content_hash")
+        .agg(F.min(key_col).alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*)    AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- shingles ---------------------------------------------------------------
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct shingle rows + per-doc shingle counts."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles3(norm_tokens("text")))).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingles for all pairs (or only
+    ``candidates`` pairs when given — the LSH path).
+
+    Scale note: the unrestricted self-join is quadratic in docs sharing a
+    shingle; at scale always pass LSH candidates. Frequent-shingle skew is
+    the classic hot key — d03 sidesteps it because band keys are
+    signature-derived, not raw shingles.
+    """
+    sh = _doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SHINGLE_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter({TOKENS_SQL.format(col='text')}, t -> t <> '') AS ts
+      FROM documents
+    ), doc_sh AS (
+      SELECT DISTINCT doc_id, unnest({SHINGLES3_SQL.format(ts='ts')}) AS sh FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM doc_sh GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "d02_ngram_jaccard",
+    oracle=_SHINGLE_CTE
+    + f"""
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig: array<long>) — k MinHash values, one agg pass."""
+    sh = _doc_shingles(docs)
+    mins = [
+        F.min(hex60(F.concat(F.lit(f"mh{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs colliding in >=1 MinHash band."""
+    band_rows = []
+    for b in range(bands):
+        parts = [F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *parts)).alias("band_key"),
+            )
+        )
+    bk = band_rows[0]
+    for extra in band_rows[1:]:
+        bk = bk.unionByName(extra)
+    a = bk.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b2 = bk.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b2, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    return ngram_jaccard_pairs(docs, threshold, candidates=cands)
+
+
+def _lsh_oracle_sql() -> str:
+    mins = ",\n             ".join(
+        "min({h}) AS h{i}".format(h=hex60_sql("'mh%d|' || sh" % i), i=i)
+        for i in range(MINHASH_K)
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(h{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS band_key FROM sig")
+    bands_union = "\n      UNION ALL\n      ".join(band_selects)
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sig AS (
+      SELECT doc_id, {mins}
+      FROM doc_sh GROUP BY doc_id
+    ), bk AS (
+      {bands_union}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """
+    )
+
+
+@register("d03_minhash_lsh", oracle=_lsh_oracle_sql())
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc over distinct tokens.
+
+    Entirely array higher-order functions on the hash array — per-row,
+    JVM-side, no explode, no shuffle: the narrowest possible plan for a
+    fingerprint pass over 100 TB.
+    """
+    hashes = F.transform(
+        F.array_distinct(norm_tokens(text_col)), lambda t: hex60(t)
+    ).alias("hs")
+    def _vote(b: int):
+        def step(acc, h):
+            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+        return F.aggregate(F.col("hs"), F.lit(0), step)
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = _vote(b)
+        bit_terms.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return docs.select("doc_id", hashes).select("doc_id", total.alias("simhash"))
+
+
+def _simhash_oracle_sql() -> str:
+    h = hex60_sql("t")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum([CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH hs_t AS (
+      SELECT doc_id,
+             [{h} FOR t IN list_distinct(
+               list_filter({TOKENS_SQL.format(col='text')}, t -> t <> ''))] AS hs
+      FROM documents
+    )
+    SELECT doc_id, {terms} AS simhash FROM hs_t
+    """
+
+
+@register("d04_simhash", oracle=_simhash_oracle_sql())
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))

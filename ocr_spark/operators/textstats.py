@@ -1,0 +1,193 @@
+"""Text analysis operators: token stats, quality scoring, language
+heuristic, fingerprinting. All pure column expressions (JVM-side,
+whole-stage codegen) — a 100 TB pass over `documents` is one scan with
+zero shuffle and zero Python.
+
+Oracle portability notes:
+  - no unicode-class regexes (Java regex and RE2 disagree on '\\u'
+    escapes); the CJK heuristic uses the UTF-8-bytes/chars ratio instead
+    (octet_length/length in Spark == strlen/length in DuckDB);
+  - stopword ratio over a tiny explicit stopword list (both engines
+    filter the same token array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import TOKENS_SQL, hex60, hex60_sql, norm_tokens
+from ocr_spark.plans import register
+from ocr_spark.sources.io import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+_TOKS = f"list_filter({TOKENS_SQL.format(col='text')}, t -> t <> '')"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = norm_tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+                )
+                / F.size(toks),
+            ).otherwise(0.0),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "t01_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                 AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT)  AS n_uniq_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_sum([CAST(length(tok) AS DOUBLE) FOR tok IN toks]) / len(toks)
+                 ELSE 0.0 END, 4)                 AS avg_token_len
+    FROM t
+    """,
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / stopword-ratio / repetition quality features + a composite
+    score in [0,1] (C4/Gopher-style cheap filters, relationally expressed)."""
+    toks = norm_tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    len_ok = (F.length(text_col) >= 100) & (F.length(text_col) <= 20000)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.least(stop_ratio * 4, F.lit(0.3))
+        + F.least(uniq_ratio, F.lit(0.3))
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "t02_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS uniq_ratio,
+             (length(text) >= 100 AND length(text) <= 20000) AS len_ok
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(uniq_ratio, 6) AS uniq_ratio,
+           round((CASE WHEN len_ok THEN 0.4 ELSE 0.0 END)
+                 + least(stop_ratio * 4, 0.3)
+                 + least(uniq_ratio, 0.3), 6) AS quality_score
+    FROM f
+    """,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap script/language heuristic:
+    byte-per-char ratio separates CJK (~3) from latin (~1); the English
+    stopword share separates en from other latin scripts."""
+    toks = norm_tokens(text_col)
+    n_tok = F.size(toks)
+    the_share = F.when(
+        n_tok > 0, F.size(F.filter(toks, lambda t: t == "the")) / n_tok
+    ).otherwise(0.0)
+    byte_ratio = F.when(
+        F.length(text_col) > 0,
+        F.octet_length(text_col) / F.length(text_col),
+    ).otherwise(1.0)
+    guess = (
+        F.when(byte_ratio >= 2.0, "cjk")
+        .when(the_share >= 0.02, "en")
+        .otherwise("latin-other")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.round(byte_ratio, 4).alias("byte_ratio"),
+        F.round(the_share, 6).alias("the_share"),
+        guess.alias("lang_guess"),
+    )
+
+
+@register(
+    "t03_lang_guess",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang AS declared_lang,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(strlen(text) AS DOUBLE) / length(text) ELSE 1.0 END, 4) AS byte_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, t -> t = 'the')) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS the_share,
+           CASE WHEN (CASE WHEN length(text) > 0
+                      THEN CAST(strlen(text) AS DOUBLE) / length(text) ELSE 1.0 END) >= 2.0
+                THEN 'cjk'
+                WHEN (CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> t = 'the')) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END) >= 0.02
+                THEN 'en'
+                ELSE 'latin-other' END AS lang_guess
+    FROM t
+    """,
+)
+def t03_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_guess(load_table(spark, sf_dir, "documents"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the canonical token join (whitespace-
+    normalized content identity) + a 60-bit integer form for compact
+    storage/joins."""
+    canon = F.array_join(norm_tokens(text_col), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fp_md5"),
+        hex60(canon).alias("fp60"),
+    )
+
+
+@register(
+    "t04_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_aggregate({_TOKS}, 'string_agg', ' ') AS canon FROM documents
+    )
+    SELECT doc_id, md5(canon) AS fp_md5, {hex60_sql('canon')} AS fp60 FROM t
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
