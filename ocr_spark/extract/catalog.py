@@ -1,1 +1,67 @@
-# filled in with the extraction-pipeline catalog entries (x01_...)
+"""Extraction-pipeline catalog entries (rows-only driver checks — the
+pipeline's real correctness gate is the golden byte-diff in
+tests/test_extract_golden.py; these entries prove the Spark plumbing
+end-to-end under the driver's smoke harness).
+
+The fixture corpus is generated deterministically in-memory (seeded,
+FIXTURES.md) — results are stable across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.extract.pipeline import extract_pages
+from ocr_spark.operators.partitioning import skew_report
+from ocr_spark.plans import register
+
+_N_DOCS = 200
+
+
+def _fixture_pages(spark: SparkSession) -> DataFrame:
+    from ocr_spark.fixtures import pages_df
+
+    return pages_df(spark, _N_DOCS)
+
+
+@register("x01_extract_pipeline")
+def x01_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the fixture corpus; deterministic digest rows."""
+    out = extract_pages(_fixture_pages(spark))
+    return out.select(
+        "url",
+        "branch",
+        "n_blocks_kept",
+        F.octet_length("extracted_text").alias("n_bytes"),
+        F.md5(F.hex("extracted_text")).alias("digest"),
+    ).orderBy("url")
+
+
+@register("x02_golden_match")
+def x02_golden_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-branch golden byte-identity rate (must be 1.0 everywhere)."""
+    from ocr_spark.fixtures import golden_df
+
+    out = extract_pages(_fixture_pages(spark))
+    g = golden_df(spark, _N_DOCS)
+    joined = out.join(g, "url")
+    return (
+        joined.groupBy(F.col("golden_branch").alias("branch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg((F.col("extracted_text") == F.col("golden_text")).cast("double")), 6
+            ).alias("byte_match_rate"),
+            F.round(
+                F.avg((F.col("n_blocks_kept") == F.col("golden_n_blocks")).cast("double")), 6
+            ).alias("block_count_match_rate"),
+        )
+        .orderBy("branch")
+    )
+
+
+@register("x03_skew_report")
+def x03_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-class histogram of the fixture corpus (partitioning diagnostic)."""
+    return skew_report(_fixture_pages(spark))

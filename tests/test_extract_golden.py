@@ -1,0 +1,99 @@
+"""Golden byte-identity for the extraction pipeline (the north rule's
+per-row invariant) + negative fixtures + plan-quality checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.extract import normalize
+from ocr_spark.extract.pipeline import extract_one, extract_pages
+from ocr_spark.fixtures import gen_corpus, golden_df, pages_df
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    out = extract_pages(pages_df(spark, N_DOCS)).join(
+        golden_df(spark, N_DOCS), "url"
+    )
+    out = out.persist()
+    yield out
+    out.unpersist()
+
+
+def test_byte_identity_all_branches(extracted):
+    rows = extracted.select(
+        "url",
+        "branch",
+        "golden_branch",
+        (F.col("extracted_text") == F.col("golden_text")).alias("match"),
+        (F.col("n_blocks_kept") == F.col("golden_n_blocks")).alias("blocks_match"),
+    ).collect()
+    assert len(rows) == N_DOCS
+    mismatches = [r for r in rows if not (r.match and r.blocks_match and r.branch == r.golden_branch)]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_all_branches_exercised(extracted):
+    branches = {r.branch for r in extracted.select("branch").distinct().collect()}
+    assert {"html", "pdf", "text"} <= branches
+
+
+def test_no_error_rows(extracted):
+    assert extracted.filter(F.col("error").isNotNull()).count() == 0
+
+
+def test_normalizer_idempotent():
+    for r in gen_corpus(50).itertuples():
+        once = normalize.assemble([r.golden_text.decode("utf-8")])
+        assert normalize.assemble([once.decode("utf-8")]) == once
+
+
+def test_negative_tag_soup_best_effort():
+    soup = b"<html><head><title>x</title><body><p>good text " + b"\xff\xfe" + b" more words here to pass the length threshold for keeping</p><div<<>broken"
+    data, n_kept, branch = extract_one(soup, None)
+    assert branch == "html"  # degraded, never crashed
+
+
+def test_negative_corrupt_spdf_is_row_error(spark):
+    import pandas as pd
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://bad.example/1"],
+                "warc_ts": [None],
+                "html": [b"%SPDF1\n\x00"],
+                "text": [None],
+                "lang": [""],
+            }
+        ),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = extract_pages(pages).collect()
+    assert rows[0].branch == "error"
+    assert "SPDF" in rows[0].error
+
+
+def test_empty_row():
+    data, n_kept, branch = extract_one(None, None)
+    assert (data, n_kept, branch) == (b"", 0, "empty")
+
+
+def test_plan_is_arrow_vectorized(spark):
+    """No per-row Python anywhere on the hot path (BASELINE.json
+    input_hint): the physical plan must not contain BatchEvalPython."""
+    plan = extract_pages(pages_df(spark, 10))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_duplicate_urls_fail_fast(spark):
+    from ocr_spark.operators.lineage import assert_unique_urls
+
+    pages = pages_df(spark, 20)
+    dup = pages.unionAll(pages.limit(1))
+    with pytest.raises(ValueError, match="duplicate url"):
+        assert_unique_urls(dup)
