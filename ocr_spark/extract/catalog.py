@@ -65,3 +65,27 @@ def x02_golden_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x03_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-class histogram of the fixture corpus (partitioning diagnostic)."""
     return skew_report(_fixture_pages(spark))
+
+
+@register("x04_multimodal_features")
+def x04_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary feature extraction plumbing (stubbed decode) over the
+    fixture payloads; deterministic rows-only check."""
+    from ocr_spark.operators.multimodal import image_features
+
+    pages = _fixture_pages(spark).filter(F.col("html").isNotNull())
+    feats = image_features(pages.select("url", F.col("html").alias("payload")))
+    return feats.select(
+        "url", "n_bytes", "width", "height", "n_channels", "error"
+    ).orderBy("url")
+
+
+@register("x05_frame_sample")
+def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame expansion plumbing (video sampling shape)."""
+    from ocr_spark.operators.multimodal import sample_frames
+
+    pages = _fixture_pages(spark).filter(F.col("html").isNotNull())
+    return sample_frames(pages.select("url", F.col("html").alias("payload"))).orderBy(
+        "url", "frame_idx"
+    )

@@ -1,0 +1,108 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The Spark-side plumbing (schemas, batch iteration, one-to-many frame
+expansion, partition-friendly signatures) is real and tested; the actual
+codecs (PIL/ffmpeg/librosa) are NOT in this container, so the decode step
+is STUBBED: ``decode_image``/``decode_audio`` raise NotImplementedError
+unless ``fake=True``, where a deterministic byte-derived pseudo-decode
+stands in. Swapping in a real codec changes only those two functions —
+the Spark plan is untouched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+IMAGE_FEATURES_DDL = (
+    "url string, n_bytes long, width int, height int, n_channels int, "
+    "feature array<float>, error string"
+)
+FRAME_SAMPLE_DDL = "url string, frame_idx int, frame_ts_ms long, frame_digest string"
+
+FEATURE_DIM = 16
+
+
+def decode_image(raw: bytes, fake: bool = False):
+    """STUB: real decoding needs an image codec not present in this
+    container. The fake path derives deterministic dims/pixels from the
+    bytes so the distributed plumbing is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; pass fake=True "
+            "or plug a real decoder here"
+        )
+    h = hashlib.sha256(raw).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    channels = 3
+    seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    return width, height, channels, seed
+
+
+def _feature_from(seed: np.ndarray) -> np.ndarray:
+    reps = int(np.ceil(FEATURE_DIM / len(seed)))
+    return np.tile(seed, reps)[:FEATURE_DIM] / 255.0
+
+
+def image_features(df: DataFrame, payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """binary payload -> typed metadata + fixed-dim feature vector."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "n_bytes", "width", "height", "n_channels", "feature", "error")}
+            for url, raw in zip(pdf["url"], pdf[payload_col]):
+                out["url"].append(url)
+                out["n_bytes"].append(0 if raw is None else len(raw))
+                try:
+                    if raw is None:
+                        raise ValueError("null payload")
+                    w, h, c, seed = decode_image(bytes(raw), fake=fake)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(c)
+                    out["feature"].append(_feature_from(seed).tolist())
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 — row error, never task failure
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_channels"].append(0)
+                    out["feature"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.select("url", payload_col).mapInPandas(run, schema=IMAGE_FEATURES_DDL)
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", every_ms: int = 1000, max_frames: int = 5
+) -> DataFrame:
+    """Video frame sampling shape: one payload row expands to N frame rows
+    (the UDTF/posexplode pattern through mapInPandas). Frame content is
+    the deterministic stub; a real implementation replaces the digest
+    computation with an actual frame grab."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "frame_idx": [], "frame_ts_ms": [], "frame_digest": []}
+            for url, raw in zip(pdf["url"], pdf[payload_col]):
+                if raw is None:
+                    continue
+                b = bytes(raw)
+                n = min(max_frames, 1 + len(b) // 4096)
+                for k in range(n):
+                    rows["url"].append(url)
+                    rows["frame_idx"].append(k)
+                    rows["frame_ts_ms"].append(k * every_ms)
+                    rows["frame_digest"].append(
+                        hashlib.sha256(b[k::n][:1024]).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("url", payload_col).mapInPandas(run, schema=FRAME_SAMPLE_DDL)

@@ -1,0 +1,70 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4):
+broadcasts where a side is dimension-sized, pushdown/pruning at the
+scan, whole-stage codegen on the hot path, exactly one wide exchange in
+the extraction pipeline, and no row-wise Python anywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import QUERIES, load_all
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(QUERIES["q03_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q05_snowflake_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["q05_region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q02_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q02_filter_project"](spark, sf_dir)
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in scan
+    assert "IsNotNull(l_shipdate)" in scan or "GreaterThanOrEqual" in scan
+    # column pruning: untouched wide columns must not be read
+    assert "l_comment" not in scan and "l_returnflag" not in scan
+
+
+def test_q01_wholestage_and_partial_agg(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+    assert "partial_sum" in plan
+    df.collect()  # AQE finalizes the plan; codegen markers appear post-run
+    final_plan = _plan(df)
+    # whole-stage codegen stages print as "*(N) Operator" in the final plan
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", final_plan), final_plan[:500]
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(QUERIES["q10_top_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extract_single_exchange(spark):
+    from ocr_spark.extract.pipeline import extract_pages
+    from ocr_spark.fixtures import pages_df
+
+    plan = _plan(extract_pages(pages_df(spark, 20)))
+    assert plan.count("Exchange") == 1  # the salted size-bucket shuffle only
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_rowwise_python_in_catalog(spark, sf_dir):
+    """No catalog query may contain a row-at-a-time Python eval node."""
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name

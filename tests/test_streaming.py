@@ -1,0 +1,55 @@
+"""Structured Streaming ops driven to completion on parquet-backed
+streams; each must agree with its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import QUERIES, load_all
+from ocr_spark.streaming.ingest import dedup_on_arrival, session_windows, tumbling_counts
+
+load_all()
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    q = tumbling_counts(spark, sf_dir, name="t_tumbling")
+    try:
+        q.processAllAvailable()
+        stream_rows = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+    finally:
+        q.stop()
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in QUERIES["q19_tumbling_window"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_session_window_totals(spark, sf_dir):
+    q = session_windows(spark, sf_dir, name="t_sessions")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT sum(n_events) AS n FROM t_sessions").collect()[0].n
+    finally:
+        q.stop()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out == n_events
+
+
+def test_dedup_on_arrival(spark, sf_dir):
+    q = dedup_on_arrival(spark, sf_dir, name="t_dedup")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT sum(n) AS n FROM t_dedup").collect()[0].n
+    finally:
+        q.stop()
+    distinct_ids = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.countDistinct("event_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert out == distinct_ids
