@@ -39,6 +39,7 @@ HEADLINE = [
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_simhash",
+    "d05_embedding_neardup",
     "t02_quality_score",
     "t04_fingerprint",
     "e01_knn_bruteforce",

@@ -295,3 +295,54 @@ def _simhash_oracle_sql() -> str:
 @register("d04_simhash", oracle=_simhash_oracle_sql())
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+COSINE_NEARDUP_THRESHOLD = 0.4
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a_id, b_id, cos) pairs with cosine >= threshold, a_id < b_id.
+
+    Without ``candidates`` this is the exact verifier: an ordered
+    self-join (O(n²) compare — test/golden scale only; Catalyst
+    broadcasts the smaller side). The 100 TB path passes ``candidates``
+    = a pair list from LSH bucketing (similarity.lsh_bucket_key: vectors
+    meet only inside a sign-of-projection bucket, as d03 does for
+    MinHash bands), so the exact cosine runs on candidate pairs only and
+    the compare never goes quadratic.
+    """
+    from ocr_spark.functions.vectors import cosine_similarity
+
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    if candidates is not None:
+        pairs = candidates.join(a, "a_id").join(b, "b_id")
+    else:
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = cosine_similarity(F.col("a_emb"), F.col("b_emb"))
+    return (
+        pairs.select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+@register(
+    "d05_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))

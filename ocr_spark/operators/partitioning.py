@@ -55,9 +55,18 @@ def size_bucket_repartition(
     df: DataFrame,
     url_col: str = "url",
     payload_col: str = "html",
-    n_salt: int = DEFAULT_SALT,
+    n_salt: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
+    """Salt count must scale with target parallelism: documents cluster
+    into a handful of occupied size classes, so distinct bucket values ≈
+    (occupied classes) × n_salt. With n_salt fixed at 8 a 128-partition
+    repartition hashes ~27 distinct buckets into ~27 non-empty
+    partitions — parallelism silently capped (measured on the 48k-doc
+    corpus). Defaulting n_salt to num_partitions keeps distinct buckets
+    ≥ several × partitions at any cluster size."""
+    if n_salt is None:
+        n_salt = max(DEFAULT_SALT, num_partitions or 0)
     out = with_size_buckets(df, url_col, payload_col, n_salt)
     if num_partitions:
         return out.repartition(num_partitions, "bucket")

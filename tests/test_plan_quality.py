@@ -68,3 +68,20 @@ def test_no_rowwise_python_in_catalog(spark, sf_dir):
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_size_bucket_repartition_fills_partitions(spark):
+    """Regression: with n_salt fixed at 8 the distinct-bucket count
+    (~occupied size classes x 8) capped effective parallelism at ~27
+    no matter how many partitions were requested. n_salt now scales
+    with num_partitions; a 64-way repartition of a mixed corpus must
+    fill most of its partitions."""
+    from ocr_spark.fixtures import pages_df
+    from ocr_spark.operators.partitioning import size_bucket_repartition
+
+    pages = pages_df(spark, 2000).select("url", "html", "text")
+    bucketed = size_bucket_repartition(pages, num_partitions=64)
+    nonempty = (
+        bucketed.groupBy(F.spark_partition_id().alias("pid")).count().count()
+    )
+    assert nonempty >= 48, f"only {nonempty}/64 partitions non-empty"
