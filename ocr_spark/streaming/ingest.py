@@ -90,3 +90,94 @@ def dedup_on_arrival(spark: SparkSession, sf_dir: str, name: str = "dedup_out"):
         .queryName(name)
         .start()
     )
+
+
+MILESTONE_CENTS = 50_000  # emit every 500.00 of accumulated value
+
+
+def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_out"):
+    """Custom stateful operator via applyInPandasWithState — the
+    FINISH_LATCH analogue (reference latch counters: `/root/reference/
+    src/event/hc/hc-event.c:223-259`): per-user accumulated `value`, one
+    output row each time the running total crosses a 500-unit milestone.
+
+    Not expressible as a built-in windowed agg (arbitrary emission
+    points from running state). Value is accumulated in integer cents so
+    the streaming loop and the batch twin (`value_milestones_batch`)
+    agree exactly — no float-order drift at milestone boundaries.
+    State per key: (cum_cents, emitted) — O(1), unbounded-stream safe.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        cum, emitted = state.get if state.exists else (0, 0)
+        out_users, out_ms, out_cents = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                if pd.isna(v):
+                    continue
+                cum += int(round(float(v) * 100))
+                while cum >= (emitted + 1) * MILESTONE_CENTS:
+                    emitted += 1
+                    out_users.append(user_id)
+                    out_ms.append(emitted)
+                    out_cents.append(cum)
+        state.update((cum, emitted))
+        if out_users:
+            yield pd.DataFrame(
+                {"user_id": out_users, "milestone": out_ms, "cum_cents": out_cents}
+            )
+
+    milestones = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, milestone int, cum_cents long",
+            stateStructType="cum long, emitted int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        milestones.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def value_milestones_batch(spark: SparkSession, sf_dir: str):
+    """Batch twin of value_milestones: window cumsum in integer cents +
+    explode of the milestones each row crosses. Differential check for
+    the stateful operator."""
+    from pyspark.sql import Window as W
+
+    events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("value").isNotNull())
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum(cents).over(w)
+    df = events.select(
+        "user_id",
+        cum.alias("cum_cents"),
+        (cum / MILESTONE_CENTS).cast("int").alias("m_after"),
+        F.coalesce(
+            (F.lag(cum).over(w) / MILESTONE_CENTS).cast("int"), F.lit(0)
+        ).alias("m_before"),
+    )
+    return df.filter(F.col("m_after") > F.col("m_before")).select(
+        "user_id",
+        F.explode(F.sequence(F.col("m_before") + 1, F.col("m_after"))).alias(
+            "milestone"
+        ),
+        "cum_cents",
+    )

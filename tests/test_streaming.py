@@ -53,3 +53,24 @@ def test_dedup_on_arrival(spark, sf_dir):
         .n
     )
     assert out == distinct_ids
+
+
+def test_value_milestones_stateful(spark, sf_dir):
+    """applyInPandasWithState stream == batch window-cumsum twin."""
+    from ocr_spark.streaming.ingest import value_milestones, value_milestones_batch
+
+    q = value_milestones(spark, sf_dir, name="milestones_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.milestone, r.cum_cents)
+            for r in spark.table("milestones_t").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.milestone, r.cum_cents)
+        for r in value_milestones_batch(spark, sf_dir).collect()
+    }
+    assert want, "fixture produced no milestones — threshold too high"
+    assert got == want
