@@ -4,9 +4,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with a count() (no driver-side collect of payloads).
-Set SPARK_GRAFT_BENCH_EXTRACT=1 to also run the extraction-pipeline
-throughput benchmark on a generated synthetic page corpus (reported as
-extract_docs_per_sec).
+Also runs the extraction-pipeline throughput benchmark on a generated
+synthetic page corpus (the BASELINE.json headline metric, reported as
+x01_extract_docs_per_sec; disable with SPARK_GRAFT_BENCH_EXTRACT=0).
 """
 
 from __future__ import annotations
@@ -54,18 +54,25 @@ def main() -> None:
     spark = build_session("ocr_spark_bench", cores=cores)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # Generic session warm-up (parquet reader, codegen, shuffle paths) so
+    # the first timed query is not charged one-time JVM startup; no
+    # headline query's own plan is pre-run.
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.limit(10_000).groupBy("l_returnflag").agg(F.sum("l_quantity")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # warm the reader metadata outside the timed section on first query only
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     extract_rate = None
-    if os.environ.get("SPARK_GRAFT_BENCH_EXTRACT", "0") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTRACT", "1") == "1":
         from ocr_spark.extract.bench import extraction_throughput
 
         extract_rate = extraction_throughput(spark)

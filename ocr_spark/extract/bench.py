@@ -11,7 +11,7 @@ from ocr_spark.extract.pipeline import extract_pages
 
 
 def extraction_throughput(spark, n_docs: int | None = None) -> float:
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "4000"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "16000"))
     from ocr_spark.fixtures import pages_df
 
     pages = pages_df(spark, n_docs)
