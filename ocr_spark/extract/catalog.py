@@ -45,7 +45,9 @@ def x02_golden_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = extract_pages(_fixture_pages(spark))
     g = golden_df(spark, _N_DOCS)
-    joined = out.join(g, "url")
+    # golden set is dimension-sized at any corpus scale -> broadcast,
+    # never shuffle the extracted side for the verification join
+    joined = out.join(F.broadcast(g), "url")
     return (
         joined.groupBy(F.col("golden_branch").alias("branch"))
         .agg(

@@ -189,20 +189,23 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs colliding in >=1 MinHash band."""
-    band_rows = []
-    for b in range(bands):
-        parts = [F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *parts)).alias("band_key"),
+    """Distinct (doc_a, doc_b) pairs colliding in >=1 MinHash band.
+
+    All band keys come from ONE pass over the signature table
+    (posexplode of a per-row key array) — a per-band union would
+    recompute the signature aggregation `bands` times (measured: 15
+    exchanges in the d03 plan vs 7 with the explode)."""
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                )
             )
-        )
-    bk = band_rows[0]
-    for extra in band_rows[1:]:
-        bk = bk.unionByName(extra)
+            for b in range(bands)
+        ]
+    )
+    bk = sig.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
     a = bk.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b2 = bk.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (

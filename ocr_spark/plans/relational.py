@@ -614,3 +614,29 @@ def q20_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
         )
     )
+
+
+@register(
+    "q23_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 2)     AS p25_qty,
+           round(quantile_cont(l_quantity, 0.75), 2)     AS p75_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based agg). Spark's
+    `percentile` and DuckDB's `quantile_cont` share the linear-
+    interpolation definition, so values agree to rounding. The approx
+    path (q21 sketches) is the 100 TB variant; this is the exact
+    verifier at golden scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("p75_qty"),
+    )
