@@ -620,23 +620,28 @@ def q20_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-           round(quantile_cont(l_quantity, 0.25), 2)     AS p25_qty,
-           round(quantile_cont(l_quantity, 0.75), 2)     AS p75_qty
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)  AS p50_price_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)  AS p90_price_cents,
+           quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.25)      AS p25_qty_cents,
+           quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.75)      AS p75_qty_cents
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (sort-based agg). Spark's
-    `percentile` and DuckDB's `quantile_cont` share the linear-
-    interpolation definition, so values agree to rounding. The approx
-    path (q21 sketches) is the 100 TB variant; this is the exact
-    verifier at golden scale."""
+    `percentile` and DuckDB's `quantile_cont` share the type-7
+    lower + (upper-lower)*frac definition, so over INTEGER inputs
+    (cents) the interpolated double is the identical IEEE expression in
+    both engines — no rounding, which at .xx5 midpoints diverges
+    between Spark's HALF_UP and DuckDB's half-away. The approx path
+    (q21 sketches) is the 100 TB variant; this is the exact verifier at
+    golden scale."""
     li = load_table(spark, sf_dir, "lineitem")
+    price_c = "cast(round(l_extendedprice * 100) as long)"
+    qty_c = "cast(round(l_quantity * 100) as long)"
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("p25_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("p75_qty"),
+        F.expr(f"percentile({price_c}, 0.5)").alias("p50_price_cents"),
+        F.expr(f"percentile({price_c}, 0.9)").alias("p90_price_cents"),
+        F.expr(f"percentile({qty_c}, 0.25)").alias("p25_qty_cents"),
+        F.expr(f"percentile({qty_c}, 0.75)").alias("p75_qty_cents"),
     )
