@@ -36,6 +36,7 @@ HEADLINE = [
     "q16_date_json_funcs",
     "q19_tumbling_window",
     "q20_asof_join",
+    "q23_percentiles",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_simhash",

@@ -1,0 +1,54 @@
+"""Recall of the approximate ANN paths vs the exact brute-force top-k.
+
+The approximate operators (e02 LSH, e04 IVF) trade recall for the
+ability to avoid the quadratic compare at scale; these tests pin a
+recall floor on the deterministic fixture embeddings so a refactor that
+silently breaks bucketing/routing (e.g. hashing the wrong column) fails
+loudly rather than returning plausible-but-wrong neighbours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import QUERIES, load_all
+
+load_all()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.qid, set()).add(r.vec_id)
+    return out
+
+
+def _recall(approx, exact):
+    hits = sum(len(approx.get(q, set()) & vs) for q, vs in exact.items())
+    total = sum(len(vs) for vs in exact.values())
+    return hits / total
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    exact = _topk_sets(QUERIES["e01_knn_bruteforce"](spark, sf_dir))
+    ivf = _topk_sets(QUERIES["e04_ivf_knn"](spark, sf_dir))
+    assert _recall(ivf, exact) >= 0.4
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    exact = _topk_sets(QUERIES["e01_knn_bruteforce"](spark, sf_dir))
+    lsh = _topk_sets(QUERIES["e02_ann_lsh"](spark, sf_dir))
+    assert _recall(lsh, exact) >= 0.4
+
+
+def test_ivf_exact_when_one_cell(spark, sf_dir):
+    """With every vector routed through its own probed cells and cos
+    computed exactly, IVF results must be a subset of the exact scores:
+    any (qid, vec_id) returned by IVF carries the same cos as e01."""
+    exact = {
+        (r.qid, r.vec_id): r.cos
+        for r in QUERIES["e01_knn_bruteforce"](spark, sf_dir).collect()
+    }
+    for r in QUERIES["e04_ivf_knn"](spark, sf_dir).collect():
+        if (r.qid, r.vec_id) in exact:
+            assert abs(r.cos - exact[(r.qid, r.vec_id)]) < 1e-9
