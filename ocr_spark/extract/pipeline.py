@@ -51,7 +51,7 @@ def extract_one(html, text) -> tuple[bytes, int, str]:
     if raw.startswith(pdfbranch.MAGIC):
         lines = pdfbranch.decode_spdf(raw)
         return normalize.assemble(lines), len(lines), "pdf"
-    blocks = dom.parse_blocks(raw)
+    blocks = dom.parse_blocks_fast(raw)
     kept = boilerplate.kept_texts(blocks)
     return normalize.assemble(kept), len(kept), "html"
 

@@ -97,3 +97,44 @@ def test_duplicate_urls_fail_fast(spark):
     dup = pages.unionAll(pages.limit(1))
     with pytest.raises(ValueError, match="duplicate url"):
         assert_unique_urls(dup)
+
+
+def test_fast_scanner_equivalence_corpus():
+    """The fast tokenizer must produce the identical Block list as the
+    stdlib html.parser path over the whole fixture corpus (all branches,
+    encodings, skew tail)."""
+    from ocr_spark.extract import dom
+    from ocr_spark.fixtures import gen_corpus
+
+    pdf = gen_corpus(600)
+    for h in pdf["html"]:
+        if h is None:
+            continue
+        assert dom.parse_blocks(bytes(h)) == dom.parse_blocks_fast(bytes(h))
+
+
+def test_fast_scanner_equivalence_fuzz():
+    """Randomized tag-soup differential fuzz: stdlib parser == fast
+    tokenizer on arbitrary '<'-ridden garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.extract import dom
+
+    frag = st.sampled_from(
+        ["<p>", "</p>", "<div class='x>y'>", "</div>", "<h1>", "</h1>", "<a>",
+         "</a>", "<script>", "</script>", "<style>", "</style>", "<!-- c -->",
+         "<br/>", "<br />", "<", ">", "&amp;", "&lt;", "&#65;", "&bogus;", "text ",
+         "日本語", "<P>", "</ P>", "</>", "<!doctype html>", "<?pi?>", "x<y",
+         "<img src='a>b'/>", "\n  ", "<td>", "</td>", "<li>", "</li>",
+         "<![CDATA[x]]>", "<!weird>", "</p junk>", "<p/q>", "<a href=x>", "=",
+         "/", "<div foo", "<!--", "-->", "</script x>", "<sCrIpT>", "</ScRiPt>"]
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(frag, max_size=25))
+    def check(parts):
+        raw = "".join(parts).encode("utf-8")
+        assert dom.parse_blocks(raw) == dom.parse_blocks_fast(raw)
+
+    check()
