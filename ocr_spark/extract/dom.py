@@ -22,6 +22,7 @@ from html.parser import HTMLParser
 from ocr_spark.extract.normalize import _CJK
 
 _CJK_RE = re.compile(f"[{_CJK}]")
+_WS_RUN = re.compile(r"\s+")
 
 # Tags whose content is never document text.
 _SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe", "head"}
@@ -93,7 +94,7 @@ class _BlockParser(HTMLParser):
         text = "".join(self._parts)
         stripped = text.strip()
         if stripped:
-            n_chars = len(re.sub(r"\s+", "", stripped))
+            n_chars = len(_WS_RUN.sub("", stripped))
             self.blocks.append(
                 Block(
                     block_idx=len(self.blocks),
@@ -147,7 +148,7 @@ class _BlockParser(HTMLParser):
             return
         self._parts.append(data)
         if self._link_depth:
-            self._link_chars += len(re.sub(r"\s+", "", data))
+            self._link_chars += len(_WS_RUN.sub("", data))
 
 
 def parse_blocks(raw: bytes) -> list[Block]:
@@ -170,12 +171,12 @@ from html import unescape as _unescape
 
 # The stdlib parser's own tolerant grammars — reused verbatim so the fast
 # scanner tokenizes identically (names, attr quoting, '</ P>' quirks).
-_STARTTAGOPEN = _hp.starttagopen
 _TAGFIND_TOL = _hp.tagfind_tolerant
 _LOCATESTART = _hp.locatestarttagend_tolerant
 _ENDTAGFIND = _hp.endtagfind
 _COMMENTCLOSE = re.compile(r"--\s*>")
 _ATTR_END_LETTERS = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 class _NeedsStdlib(Exception):
@@ -243,7 +244,7 @@ def _scan_tokens(html: str, h: _BlockParser) -> None:
             i = m.start()
 
         nxt = html[i + 1 : i + 2]
-        if _STARTTAGOPEN.match(html, i):
+        if nxt in _ASCII_LETTERS:  # starttagopen = <[a-zA-Z]
             # --- parse_starttag + check_for_whole_start_tag ---
             m = _LOCATESTART.match(html, i)
             j = m.end()

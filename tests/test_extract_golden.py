@@ -138,3 +138,28 @@ def test_fast_scanner_equivalence_fuzz():
         assert dom.parse_blocks(raw) == dom.parse_blocks_fast(raw)
 
     check()
+
+
+def test_extract_one_never_raises_fuzz():
+    """extract_one must degrade, never raise, on arbitrary byte garbage
+    (including %SPDF-prefixed junk that fails layout decoding) — the
+    MustFail analogue is a row-level error, not a task failure."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.extract.pdfbranch import MAGIC
+    from ocr_spark.extract.pipeline import extract_one
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=400), st.booleans())
+    def check(raw, as_pdf):
+        payload = MAGIC + raw if as_pdf else raw
+        try:
+            out, n, branch = extract_one(payload, None)
+        except Exception as e:  # pdf decode of junk MAY raise -> row error upstream
+            assert as_pdf, f"html branch raised on garbage: {e!r}"
+            return
+        assert isinstance(out, bytes)
+        assert n >= 0
+
+    check()

@@ -74,3 +74,35 @@ def test_value_milestones_stateful(spark, sf_dir):
     }
     assert want, "fixture produced no milestones — threshold too high"
     assert got == want
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path_factory):
+    """The streaming extraction pipeline must produce the same per-url
+    digest rows as the batch pipeline over the same page files."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.extract.pipeline import extract_pages
+    from ocr_spark.fixtures import pages_df
+    from ocr_spark.streaming.ingest import streaming_extract
+
+    pages_dir = str(tmp_path_factory.mktemp("stream_pages"))
+    pages = pages_df(spark, 120)
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    q = streaming_extract(spark, pages_dir, name="extract_stream_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.url, r.branch, r.n_blocks_kept, r.n_bytes)
+            for r in spark.table("extract_stream_t").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.url, r.branch, r.n_blocks_kept, r.n_bytes)
+        for r in extract_pages(spark.read.parquet(pages_dir))
+        .select("url", "branch", "n_blocks_kept", F.octet_length("extracted_text").alias("n_bytes"))
+        .collect()
+    }
+    assert got == want
