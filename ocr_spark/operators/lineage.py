@@ -65,6 +65,7 @@ def run_extraction(
     run_id: str,
     max_buckets: int | None = None,
     validate: bool = False,
+    n_salt: int | None = None,
 ) -> dict:
     """Execute (or resume) one extraction run. ``max_buckets`` processes
     only the first K uncommitted buckets — the test hook that simulates a
@@ -72,7 +73,12 @@ def run_extraction(
     if validate:
         assert_unique_urls(pages)
 
-    bucketed = size_bucket_repartition(pages.select("url", "html", "text"))
+    # bucket count = restart granularity AND max parallelism of the run;
+    # pass n_salt ~ executor-cores x 4 on a cluster (default 8 keeps small
+    # test corpora at a handful of buckets per size class)
+    bucketed = size_bucket_repartition(
+        pages.select("url", "html", "text"), n_salt=n_salt
+    )
 
     committed = None
     metrics = read_metrics(spark, out_dir)

@@ -85,7 +85,11 @@ def main() -> None:
             raise SystemExit("need --bench or --run-dir")
         from ocr_spark.operators.lineage import run_extraction
 
-        stats = run_extraction(spark, pages, args.run_dir, args.run_id)
+        # salt ~ 4 buckets/core in each occupied size class so the run's
+        # parallelism and restart granularity scale with the cluster
+        stats = run_extraction(
+            spark, pages, args.run_dir, args.run_id, n_salt=max(8, cores * 4)
+        )
         result.update(stats)
 
     line = json.dumps(result)
