@@ -13,6 +13,11 @@ Four tiers, each a registered catalog query over `documents`:
   d04 simhash      — 60-bit per-doc fingerprint computed entirely with
                      array higher-order functions: zero shuffle, zero
                      Python.
+  d05 embedding    — cosine near-dup pairs: numpy blocked-matmul
+                     prefilter + exact JVM-fold verify.
+  d06 dup clusters — transitive near-dup groups: iterative min-label
+                     propagation (connected components) over the d03
+                     pair graph, matched against a recursive-CTE oracle.
 
 All hashes are md5-derived (functions.text.hex60) so the DuckDB oracle
 reproduces them bit-for-bit.
@@ -413,3 +418,102 @@ def embedding_neardup_pairs(
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- transitive dup clusters (connected components) ---------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every document: cluster_id = min doc_id
+    of its connected component in the near-dup pair graph; docs with no
+    pair form singleton clusters.
+
+    Iterative min-label propagation over DataFrames (the reference's
+    only loop construct is user-space recursion over EDTs — here the
+    driver loop composes one join+agg per round, each a bounded shuffle
+    on doc_id). Rounds needed = graph diameter (doubles per round with
+    the self-edge), so 20 rounds covers any component of < 2^20
+    diameter; the loop exits early at fixpoint via a single count().
+
+    At 100 TB: labels and edges are both (id, id) tables hash-partitioned
+    on the join key; each round is one co-partitioned join — the classic
+    large-scale CC (Hash-to-Min) shape. The pair list is the small side
+    (near-dups are rare) and broadcastable in practice.
+    """
+    # materialize the edge list once: every propagation round joins it,
+    # and without the cache each round would re-run the upstream pair
+    # pipeline (for d06 that is the whole MinHash-LSH DAG)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist() if labels.is_cached else None
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def _cc_oracle_sql() -> str:
+    """Connected components as a recursive reachability closure over the
+    (embedded) d03 pair query: cluster_id = min(doc_id, min reachable
+    doc_id). Exponential-diameter closure is fine at oracle scale."""
+    return f"""
+    WITH RECURSIVE pairs AS ( {_lsh_oracle_sql()} ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+    FROM documents d
+    LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+      ON m.src = d.doc_id
+    """
+
+
+@register("d06_dup_clusters", oracle=_cc_oracle_sql())
+def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs).select("doc_a", "doc_b")
+    return dup_clusters(docs, pairs)
