@@ -14,6 +14,9 @@
       once, probe the query's nprobe nearest cells, exact top-k inside
       probed cells only (recall floor pinned in
       tests/test_similarity_recall.py).
+  e05 k-means           — iterative Lloyd's on DataFrames (broadcast
+      assignment + posexplode mean update); inertia monotonicity and
+      determinism pinned by tests.
 """
 
 from __future__ import annotations
@@ -313,3 +316,73 @@ def e04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent,
         nprobe=4,
     )
+
+
+# --- k-means (iterative Lloyd's) ---------------------------------------------
+
+
+def sq_dist(a, b):
+    """Squared euclidean distance between two array columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    centroids: DataFrame,
+    iters: int = 5,
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Lloyd's algorithm on DataFrames (no MLlib): assignment = broadcast
+    centroid join + argmin squared-L2 (window); update = element-wise
+    mean via posexplode + rebuild. Returns (assignments, final
+    centroids, per-iteration inertia).
+
+    Deterministic given deterministic init (ties broken on cell id).
+    Each iteration: one broadcast join + one narrow window + one
+    two-level agg — the canonical scale shape (centroids are always the
+    broadcast side; vectors never shuffle except the posexplode agg).
+    """
+    cent = centroids.select("cell", "centroid")
+    inertias: list[float] = []
+    assigned = None
+    prev = None
+    for _ in range(max(1, iters)):
+        scored = emb.join(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cell",
+            sq_dist(F.col("embedding"), F.col("centroid")).alias("d2"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell", "d2")
+            .persist()
+        )
+        inertias.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
+        pos = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        means = pos.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+        cent = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+    return assigned.select("vec_id", "cell", F.round("d2", 6).alias("d2")), cent, inertias
+
+
+@register("e05_kmeans")  # rows-only: iterative refinement is not SQL-portable
+def e05_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations from the label-centroid init (deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = label_centroids(emb).select(
+        F.col("label").cast("int").alias("cell"), "centroid"
+    )
+    assigned, _cent, _inertia = kmeans(emb.select("vec_id", "embedding"), init, iters=3)
+    return assigned

