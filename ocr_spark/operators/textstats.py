@@ -191,3 +191,54 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def title_neardups(docs: DataFrame, max_dist: int = 8) -> DataFrame:
+    """Edit-distance near-dup pairs over the first-line "title" of each
+    document (levenshtein is JVM built-in). The all-pairs compare is the
+    verifier shape; at scale the pair list comes from a cheap blocking
+    key first (here: same token count bucket) — the join is
+    block-local, never all-pairs across the corpus."""
+    first_line = F.trim(F.substring_index("text", "\n", 1))
+    t = docs.select(
+        "doc_id",
+        first_line.alias("title"),
+        F.size(norm_tokens(first_line)).alias("nt"),
+    ).filter(F.length("title") > 0)
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("title").alias("title_a"), F.col("nt")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("title").alias("title_b"), F.col("nt")
+    )
+    return (
+        a.join(b, "nt")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("title_a", "title_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+@register(
+    "t05_title_editdist",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(split_part(text, chr(10), 1)) AS title,
+             len(list_filter(string_split_regex(trim(split_part(text, chr(10), 1)), '\\s+'),
+                             x -> x <> '')) AS nt
+      FROM documents
+      WHERE length(trim(split_part(text, chr(10), 1))) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.title, b.title) AS edit_dist
+    FROM t a JOIN t b ON a.nt = b.nt AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 8
+    """,
+)
+def t05_title_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return title_neardups(load_table(spark, sf_dir, "documents"))

@@ -679,3 +679,56 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "q24_correlated_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           round(o.o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2
+                                   WHERE o2.o_custkey = o.o_custkey), 4) AS vs_cust_avg
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (SELECT avg(o3.o_totalprice) FROM orders o3
+                                WHERE o3.o_custkey = o.o_custkey)
+    """,
+)
+def q24_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates both into
+    aggregate-join form (one shuffle on o_custkey), the rewrite the
+    reference has no analogue for (SURVEY §4.2)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_totalprice,
+               round(o.o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders_v o2
+                                       WHERE o2.o_custkey = o.o_custkey), 4) AS vs_cust_avg
+        FROM orders_v o
+        WHERE o.o_totalprice > 2 * (SELECT avg(o3.o_totalprice) FROM orders_v o3
+                                    WHERE o3.o_custkey = o.o_custkey)
+    """)
+
+
+@register(
+    "q25_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_1h_value
+    FROM (SELECT event_id, user_id, value, ts FROM events WHERE value IS NOT NULL)
+    """,
+)
+def q25_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event-time seconds (value-based frame, not
+    row-count): per-user rolling 1-hour sum — the frame spec family q08's
+    rowsBetween does not cover."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+    )
