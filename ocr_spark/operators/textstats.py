@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import TOKENS_SQL, hex60, hex60_sql, norm_tokens
+from ocr_spark.functions.text import lang_id_ngram_sql
 from ocr_spark.plans import register
 from ocr_spark.sources.io import load_table
 
@@ -242,3 +243,26 @@ def title_neardups(docs: DataFrame, max_dist: int = 8) -> DataFrame:
 )
 def t05_title_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return title_neardups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t06_langid_ngram",
+    oracle=f"""
+    SELECT doc_id, lang AS declared_lang,
+           {lang_id_ngram_sql('text')} AS lang_id
+    FROM documents
+    """,
+)
+def t06_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram + script-class language-ID (Cavnar-Trenkle-style
+    profile intersection; t03 is the cheaper byte-ratio heuristic).
+    Entirely JVM-side length/replace/regexp math — scoring replicated
+    bit-for-bit by the DuckDB oracle."""
+    from ocr_spark.functions.text import lang_id_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id_ngram(F.col("text")).alias("lang_id"),
+    )

@@ -163,3 +163,31 @@ def test_extract_one_never_raises_fuzz():
         assert n >= 0
 
     check()
+
+
+def test_langid_accuracy_on_fixture_corpus(spark):
+    """The n-gram language-ID must identify >=95% of fixture pages whose
+    extracted text carries the language signal (pdf-branch pages render
+    a-z0-9 glyphs only, so they are excluded)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.extract.pipeline import extract_pages
+    from ocr_spark.fixtures import pages_df
+    from ocr_spark.functions.text import lang_id_ngram
+
+    pages = pages_df(spark, 800)
+    out = extract_pages(pages).join(pages.select("url", "lang"), "url")
+    scored = (
+        out.filter(F.col("branch").isin("html", "text"))
+        .filter(F.col("lang").isin("en", "de", "fr", "ja", "zh", "ru", "ar"))
+        .select(
+            "lang",
+            lang_id_ngram(F.decode("extracted_text", "utf-8")).alias("guess"),
+        )
+    )
+    row = scored.agg(
+        F.avg((F.col("lang") == F.col("guess")).cast("double")).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row.n > 400
+    assert row.acc >= 0.95, f"lang-ID accuracy {row.acc:.3f}"
