@@ -266,3 +266,40 @@ def t06_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("declared_lang"),
         lang_id_ngram(F.col("text")).alias("lang_id"),
     )
+
+
+def hash_split(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash (hex60 mod 100: <90 train, <95 val, else test). Unlike
+    rand()-based sampling this is reproducible across runs, partitioning
+    changes, and engines — the property a training-data pipeline needs
+    so a re-extraction never silently reshuffles the eval split."""
+    bucket = F.pmod(hex60(F.col(key_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
+@register(
+    "q26_hash_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {hex60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                  WHEN {hex60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n FROM s GROUP BY lang, split
+    """,
+)
+def q26_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
