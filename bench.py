@@ -37,14 +37,21 @@ HEADLINE = [
     "q19_tumbling_window",
     "q20_asof_join",
     "q23_percentiles",
+    "q04_order_priority",
+    "q24_correlated_subquery",
+    "q25_range_frame",
+    "q26_hash_split",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_simhash",
     "d05_embedding_neardup",
     "t02_quality_score",
+    "t05_title_editdist",
+    "t06_langid_ngram",
     "t04_fingerprint",
     "e01_knn_bruteforce",
     "e03_centroid_assign",
+    "e04_ivf_knn",
 ]
 
 

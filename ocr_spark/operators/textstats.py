@@ -195,25 +195,28 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def title_neardups(docs: DataFrame, max_dist: int = 8) -> DataFrame:
-    """Edit-distance near-dup pairs over the first-line "title" of each
-    document (levenshtein is JVM built-in). The all-pairs compare is the
-    verifier shape; at scale the pair list comes from a cheap blocking
-    key first (here: same token count bucket) — the join is
-    block-local, never all-pairs across the corpus."""
-    first_line = F.trim(F.substring_index("text", "\n", 1))
+    """Edit-distance near-dup pairs over document "titles" (first 64
+    chars of the first line; levenshtein is JVM built-in), blocked on
+    the 12-char title prefix: candidates meet only inside a prefix
+    block, so the join is block-local, never all-pairs. The blocking is
+    part of the operator's definition (typo-style near-dups diverge
+    late in the string) and the oracle applies the identical rule —
+    token-count blocking measured 115s at sf0.1 vs ~2s with prefix
+    blocks."""
+    title = F.substring(F.trim(F.substring_index("text", "\n", 1)), 1, 64)
     t = docs.select(
         "doc_id",
-        first_line.alias("title"),
-        F.size(norm_tokens(first_line)).alias("nt"),
+        title.alias("title"),
+        F.substring(title, 1, 12).alias("bk"),
     ).filter(F.length("title") > 0)
     a = t.select(
-        F.col("doc_id").alias("doc_a"), F.col("title").alias("title_a"), F.col("nt")
+        F.col("doc_id").alias("doc_a"), F.col("title").alias("title_a"), F.col("bk")
     )
     b = t.select(
-        F.col("doc_id").alias("doc_b"), F.col("title").alias("title_b"), F.col("nt")
+        F.col("doc_id").alias("doc_b"), F.col("title").alias("title_b"), F.col("bk")
     )
     return (
-        a.join(b, "nt")
+        a.join(b, "bk")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -229,15 +232,14 @@ def title_neardups(docs: DataFrame, max_dist: int = 8) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             trim(split_part(text, chr(10), 1)) AS title,
-             len(list_filter(string_split_regex(trim(split_part(text, chr(10), 1)), '\\s+'),
-                             x -> x <> '')) AS nt
+             substr(trim(split_part(text, chr(10), 1)), 1, 64) AS title,
+             substr(substr(trim(split_part(text, chr(10), 1)), 1, 64), 1, 12) AS bk
       FROM documents
-      WHERE length(trim(split_part(text, chr(10), 1))) > 0
+      WHERE length(substr(trim(split_part(text, chr(10), 1)), 1, 64)) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.title, b.title) AS edit_dist
-    FROM t a JOIN t b ON a.nt = b.nt AND a.doc_id < b.doc_id
+    FROM t a JOIN t b ON a.bk = b.bk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.title, b.title) <= 8
     """,
 )
