@@ -91,3 +91,15 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(pages.select("url", F.col("html").alias("payload"))).orderBy(
         "url", "frame_idx"
     )
+
+
+@register("x06_audio_windows")
+def x06_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality windowing plumbing (stubbed decode) over fixture
+    payloads; deterministic rows-only check."""
+    from ocr_spark.operators.multimodal import audio_windows
+
+    pages = _fixture_pages(spark).filter(F.col("html").isNotNull())
+    return audio_windows(pages.select("url", F.col("html").alias("payload"))).orderBy(
+        "url", "win_idx"
+    )

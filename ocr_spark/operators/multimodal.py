@@ -106,3 +106,62 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select("url", payload_col).mapInPandas(run, schema=FRAME_SAMPLE_DDL)
+
+
+AUDIO_WINDOWS_DDL = (
+    "url string, win_idx int, start_ms long, rms double, peak double, error string"
+)
+
+AUDIO_SR = 16_000  # pseudo sample rate for the fake decode
+AUDIO_WIN = 4_000  # samples per analysis window (250 ms at 16 kHz)
+
+
+def decode_audio(raw: bytes, fake: bool = False) -> "np.ndarray":
+    """STUB: real decoding needs an audio codec not present in this
+    container. The fake path interprets the payload bytes directly as
+    int16 PCM (deterministic, length-preserving) so the windowing
+    pipeline is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codec not available in this environment; pass fake=True "
+            "or plug a real decoder here"
+        )
+    usable = len(raw) - (len(raw) % 2)
+    return np.frombuffer(raw[:usable], dtype="<i2").astype(np.float64) / 32768.0
+
+
+def audio_windows(df: DataFrame, payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """binary payload -> one row per fixed-size analysis window with RMS
+    and peak level (numpy-vectorized inside the Arrow batch loop; the
+    one-to-many expansion shape of any frame/window featurizer). Errors
+    are row-level, never task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "win_idx", "start_ms", "rms", "peak", "error")}
+            for url, raw in zip(pdf["url"], pdf[payload_col]):
+                try:
+                    pcm = decode_audio(bytes(raw), fake=fake)
+                    n_win = len(pcm) // AUDIO_WIN
+                    if n_win == 0:
+                        raise ValueError("payload shorter than one window")
+                    w = pcm[: n_win * AUDIO_WIN].reshape(n_win, AUDIO_WIN)
+                    rms = np.sqrt((w * w).mean(axis=1))
+                    peak = np.abs(w).max(axis=1)
+                    for i in range(n_win):
+                        out["url"].append(url)
+                        out["win_idx"].append(i)
+                        out["start_ms"].append(int(i * AUDIO_WIN * 1000 / AUDIO_SR))
+                        out["rms"].append(round(float(rms[i]), 8))
+                        out["peak"].append(round(float(peak[i]), 8))
+                        out["error"].append(None)
+                except Exception as e:  # noqa: BLE001
+                    out["url"].append(url)
+                    out["win_idx"].append(-1)
+                    out["start_ms"].append(0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+                    out["error"].append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_WINDOWS_DDL)

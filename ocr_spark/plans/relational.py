@@ -732,3 +732,43 @@ def q25_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
     )
+
+
+@register(
+    "q27_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day, et.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) et
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, s.event_type,
+           coalesce(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d ON d.day = s.day AND d.event_type = s.event_type
+    """,
+)
+def q27_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense (day x event_type) spine via
+    sequence+explode cross-joined with the distinct dimension, left-join
+    the sparse daily aggregate, zero-fill. The spine side is generated,
+    never scanned — at any scale the only shuffle is the daily groupBy."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("timestamp").cast("date")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    ).crossJoin(ev.select("event_type").distinct())
+    daily = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_raw", F.lit(0)).alias("n"),
+        )
+    )

@@ -35,3 +35,31 @@ def test_frame_sample_one_to_many(spark):
     assert per_url and all(1 <= n <= 5 for n in per_url.values())
     idx = frames.filter(F.col("frame_idx") >= 5).count()
     assert idx == 0
+
+
+def test_audio_windows_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.fixtures import pages_df
+    from ocr_spark.operators.multimodal import AUDIO_WIN, audio_windows
+
+    pages = pages_df(spark, 60).filter(F.col("html").isNotNull())
+    out = audio_windows(pages.select("url", F.col("html").alias("payload")))
+    rows = out.collect()
+    assert rows
+    ok = [r for r in rows if r.error is None]
+    assert ok, "no successful windows"
+    for r in ok[:50]:
+        assert 0.0 <= r.rms <= 1.0 and r.rms <= r.peak <= 1.0
+    # deterministic across runs
+    again = audio_windows(pages.select("url", F.col("payload") if False else F.col("html").alias("payload"))).collect()
+    assert {(r.url, r.win_idx, r.rms) for r in rows} == {(r.url, r.win_idx, r.rms) for r in again}
+
+
+def test_audio_decode_is_stubbed():
+    import pytest
+
+    from ocr_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00" * 100)
