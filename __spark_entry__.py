@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose the full ocr_spark catalog (one entry per
-implemented operator, see SURVEY.md §2 and ocr_spark/plans/__init__.py).
-Queries without an oracle entry (x/e02 custom operators) get the driver's
-rows-only check.
+``oracle_sql()`` expose the full ocr_spark catalog — 50 entries, one per
+implemented operator (see COVERAGE.md for the SURVEY.md §2 map and
+ocr_spark/plans/__init__.py for the registry). The 10 entries without an
+oracle (extraction/multimodal fixtures x01-x06, LSH/IVF/k-means routing
+e02/e04/e05, sketches q21) have non-SQL-portable semantics and get the
+driver's rows-only check; each carries its own differential or
+property test instead (COVERAGE.md, rightmost column).
 """
 
 from __future__ import annotations
