@@ -128,7 +128,9 @@ def test_fast_scanner_equivalence_fuzz():
          "日本語", "<P>", "</ P>", "</>", "<!doctype html>", "<?pi?>", "x<y",
          "<img src='a>b'/>", "\n  ", "<td>", "</td>", "<li>", "</li>",
          "<![CDATA[x]]>", "<!weird>", "</p junk>", "<p/q>", "<a href=x>", "=",
-         "/", "<div foo", "<!--", "-->", "</script x>", "<sCrIpT>", "</ScRiPt>"]
+         "/", "<div foo", "<!--", "-->", "</script x>", "<sCrIpT>", "</ScRiPt>",
+         "\x00", "&", "&#", "&#x41;", "&amp", ";", "<div a='", "'>", "< /td>",
+         "<br//>", "</p >", "</scrip", "t>", "]]>", "<!>", "?>", "</sCRipt >"]
     )
 
     @settings(max_examples=150, deadline=None)
