@@ -543,13 +543,15 @@ def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q21_approx_sketches")  # rows-only: sketch algorithms differ per engine
 def q21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL + quantile sketches — the constant-memory path for distinct
-    counts / percentiles at 100 TB (exact variants shuffle all values)."""
+    counts / percentiles at 100 TB (exact variants shuffle all values).
+    Quantiles are emitted as scalar columns (not an array) so the
+    driver's row canonicalizer can hash them."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
     )
 
 
@@ -685,25 +687,39 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_correlated_subquery",
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice,
-           round(o.o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2
-                                   WHERE o2.o_custkey = o.o_custkey), 4) AS vs_cust_avg
+           CAST(round(o.o_totalprice * 100) AS BIGINT)
+             - (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / count(*)
+                FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS vs_cust_avg_cents
     FROM orders o
-    WHERE o.o_totalprice > 2 * (SELECT avg(o3.o_totalprice) FROM orders o3
-                                WHERE o3.o_custkey = o.o_custkey)
+    WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+          > 2 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                        / count(*)
+                 FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
     """,
 )
 def q24_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subqueries — Catalyst decorrelates both into
     aggregate-join form (one shuffle on o_custkey), the rewrite the
-    reference has no analogue for (SURVEY §4.2)."""
+    reference has no analogue for (SURVEY §4.2).
+
+    Cross-engine hash parity uses the q23 technique: the per-customer
+    average is computed as sum(integer cents) / count on both engines,
+    so the division is the identical IEEE double expression — no
+    round() of an engine-order-dependent double sum (round 1's q24
+    hash mismatch)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql("""
         SELECT o.o_orderkey, o.o_totalprice,
-               round(o.o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders_v o2
-                                       WHERE o2.o_custkey = o.o_custkey), 4) AS vs_cust_avg
+               CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 - (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                           / count(*)
+                    FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey) AS vs_cust_avg_cents
         FROM orders_v o
-        WHERE o.o_totalprice > 2 * (SELECT avg(o3.o_totalprice) FROM orders_v o3
-                                    WHERE o3.o_custkey = o.o_custkey)
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+              > 2 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+                            / count(*)
+                     FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)
     """)
 
 
