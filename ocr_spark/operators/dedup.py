@@ -425,22 +425,34 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 
 
-def dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
     """(doc_id, cluster_id) for every document: cluster_id = min doc_id
     of its connected component in the near-dup pair graph; docs with no
     pair form singleton clusters.
 
-    Iterative min-label propagation over DataFrames (the reference's
-    only loop construct is user-space recursion over EDTs — here the
-    driver loop composes one join+agg per round, each a bounded shuffle
-    on doc_id). Rounds needed = graph diameter (doubles per round with
-    the self-edge), so 20 rounds covers any component of < 2^20
-    diameter; the loop exits early at fixpoint via a single count().
+    Iterative min-label propagation + pointer jumping over DataFrames
+    (the reference's only loop construct is user-space recursion over
+    EDTs — here the driver loop composes bounded shuffles on doc_id).
+    Each round does (a) one neighbor-min hop and (b) one label(label)
+    shortcut hop, so the covered min-label distance roughly doubles per
+    round: ``max_iters`` rounds cover component diameters up to about
+    2^max_iters. If the loop exhausts without reaching fixpoint the
+    labels would be silently wrong, so it raises instead.
+
+    Every round's result is ``localCheckpoint``-ed: persist() alone only
+    cuts physical re-execution, while the *logical plan* of round k
+    embeds round k-1's plan several times (neighbor join + shortcut
+    join + changed-check), which grows exponentially and OOMs the driver
+    during analysis on deep chains. Checkpointing truncates lineage so
+    each round's plan is flat. On a real cluster use checkpoint() with a
+    reliable dir so executor loss cannot drop the truncated lineage.
 
     At 100 TB: labels and edges are both (id, id) tables hash-partitioned
-    on the join key; each round is one co-partitioned join — the classic
-    large-scale CC (Hash-to-Min) shape. The pair list is the small side
-    (near-dups are rare) and broadcastable in practice.
+    on the join key; each round is co-partitioned joins — the classic
+    large-scale CC (Hash-to-Min / pointer-jumping) shape. The pair list
+    is the small side (near-dups are rare) and broadcastable in practice.
     """
     # materialize the edge list once: every propagation round joins it,
     # and without the cache each round would re-run the upstream pair
@@ -453,8 +465,9 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(CC_MAX_ITERS):
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    converged = False
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
@@ -462,16 +475,27 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+        one_hop = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jump: cluster_id is itself a doc_id, so look its label
+        # up in the same table — label <- min(label, label(label)).
+        parent = one_hop.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
+        )
+        two_hop = (
+            one_hop.join(parent, one_hop["cluster_id"] == parent["p_id"], "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce("p_lab", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
         )
-        new_labels = new_labels.persist()
+        new_labels = two_hop.localCheckpoint()  # eager; truncates lineage
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster_id", "old"), "doc_id"
@@ -480,11 +504,16 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist() if labels.is_cached else None
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds; "
+            "component diameter exceeds ~2^max_iters — raise max_iters"
+        )
     return labels
 
 
