@@ -13,8 +13,9 @@ Four tiers, each a registered catalog query over `documents`:
   d04 simhash      — 60-bit per-doc fingerprint computed entirely with
                      array higher-order functions: zero shuffle, zero
                      Python.
-  d05 embedding    — cosine near-dup pairs: numpy blocked-matmul
-                     prefilter + exact JVM-fold verify.
+  d05 embedding    — cosine near-dup pairs: distributed block-pair
+                     matmul prefilter (applyInPandas, no driver
+                     collect) + exact JVM-fold verify.
   d06 dup clusters — transitive near-dup groups: iterative min-label
                      propagation (connected components) over the d03
                      pair graph, matched against a recursive-CTE oracle.
@@ -335,45 +336,76 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_NEARDUP_THRESHOLD = 0.4
 
 
-def _neardup_candidates_matrix(
-    emb: DataFrame, threshold: float, margin: float = 1e-4
-) -> DataFrame:
-    """Candidate (a_id, b_id) pairs with approximate cosine >=
-    threshold - margin, via a numpy blocked matmul of each Arrow batch
-    against a broadcast normalized matrix — O(n²) *comparisons* but
-    vectorized flops, never a 25M-row codegen cross join (85 s -> ~2 s
-    at sf0.1). The margin swallows summation-order ulp drift, so no
-    true pair can be lost before the exact verify.
+NEARDUP_BLOCKS = 8
 
-    The broadcast side must fit in memory (n × dim doubles); at 100 TB
-    pass ``candidates`` from LSH bucketing instead (lsh_bucket_key) —
-    this helper is the exact-verifier path for broadcastable sets.
+
+def _neardup_candidates_blocked(
+    emb: DataFrame,
+    threshold: float,
+    n_blocks: int = NEARDUP_BLOCKS,
+    margin: float = 1e-4,
+) -> DataFrame:
+    """Distributed exact candidate generation: hash-assign each vector to
+    one of ``n_blocks`` blocks, replicate each block to its B block-pair
+    groups, and run a numpy matmul per (block_a, block_b) group via
+    applyInPandas. Exact all-pairs is inherently O(n²) *comparisons*,
+    but here the flops are vectorized AND sharded into B(B+1)/2
+    independent tasks of 2n/B vectors each — no driver collect(), no
+    broadcast of the corpus (round 1's d05 scale-killer). Each unordered
+    vector pair lands in exactly one group, so output pairs are unique.
+
+    At 100 TB, grow n_blocks ~ n/block_budget so each group's two
+    sub-matrices fit an executor; replication factor is n_blocks
+    (storage n × B rows through one shuffle). For sub-quadratic cost
+    pass ``candidates`` from LSH bucketing instead — this path is the
+    exact-recall candidate generator the oracle can verify.
     """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids_all = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat / norms[:, None]))
     cut = threshold - margin
 
-    def gen(batches):
-        ids_b, mat_b = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            block = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
-            bn = np.linalg.norm(block, axis=1)
-            bn[bn == 0.0] = 1.0
-            cos = (block / bn[:, None]) @ mat_b.T
+    def one_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        mat = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        blk = pdf["blk"].to_numpy()
+        if pa == pb:
+            cos = mat @ mat.T
             ai, bi = np.nonzero(cos >= cut)
-            a, b = a_ids[ai], ids_b[bi]
-            keep = a < b
-            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+            a, b = ids[ai], ids[bi]
+        else:
+            la, lb = blk == pa, blk == pb
+            cos = mat[la] @ mat[lb].T
+            ai, bi = np.nonzero(cos >= cut)
+            a, b = ids[la][ai], ids[lb][bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo < hi
+        return pd.DataFrame({"a_id": lo[keep], "b_id": hi[keep]}).drop_duplicates()
 
-    return emb.select("vec_id", "embedding").mapInPandas(gen, "a_id long, b_id long")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+    )
+    # a vector in block v participates in every unordered block pair
+    # {v, w}: replicate it under key (min(v,w), max(v,w)) for all w
+    pair_keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda w: F.struct(
+                F.least(F.col("blk"), w).alias("pa"),
+                F.greatest(F.col("blk"), w).alias("pb"),
+            ),
+        )
+    )
+    rep = e.select(
+        "vec_id", "embedding", "blk", F.explode(pair_keys).alias("p")
+    ).select("vec_id", "embedding", "blk", "p.pa", "p.pb")
+    return rep.groupBy("pa", "pb").applyInPandas(one_pair, "a_id long, b_id long")
 
 
 def embedding_neardup_pairs(
@@ -383,17 +415,18 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """(a_id, b_id, cos) pairs with cosine >= threshold, a_id < b_id.
 
-    Two-phase: candidate generation (numpy blocked matmul against a
-    broadcast matrix by default; pass ``candidates`` = an LSH-bucket
-    pair list for the 100 TB path, as d03 does with MinHash bands),
-    then exact cosine on candidates only via the JVM sequential fold
-    (functions.vectors) whose addition order matches DuckDB's — the
-    final values are oracle-exact, the prefilter only prunes.
+    Two-phase: candidate generation (distributed blocked matmul with an
+    exactness margin by default; pass ``candidates`` = an LSH-bucket
+    pair list for the sub-quadratic approximate path, as d03 does with
+    MinHash bands), then exact cosine on candidates only via the JVM
+    sequential fold (functions.vectors) whose addition order matches
+    DuckDB's — the final values are oracle-exact, the prefilter only
+    prunes.
     """
     from ocr_spark.functions.vectors import cosine_similarity
 
     if candidates is None:
-        candidates = _neardup_candidates_matrix(emb, threshold)
+        candidates = _neardup_candidates_blocked(emb, threshold)
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     pairs = candidates.join(a, "a_id").join(b, "b_id")

@@ -70,6 +70,26 @@ def test_no_rowwise_python_in_catalog(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_d05_plan_is_distributed(spark, sf_dir):
+    """Regression: round-1 d05 collect()-ed the whole embeddings table to
+    the driver at plan-construction time (the one flagged scale-killer).
+    Building the plan must launch no job, and the candidate matmul must
+    appear as a distributed FlatMapGroupsInPandas stage."""
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.collect
+    calls = []
+    DataFrame.collect = lambda self: (calls.append(1), orig(self))[1]
+    try:
+        df = QUERIES["d05_embedding_neardup"](spark, sf_dir)
+    finally:
+        DataFrame.collect = orig
+    assert calls == [], "d05 plan construction ran a driver-side collect()"
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_size_bucket_repartition_fills_partitions(spark):
     """Regression: with n_salt fixed at 8 the distinct-bucket count
     (~occupied size classes x 8) capped effective parallelism at ~27
