@@ -183,12 +183,32 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — k MinHash values, one agg pass."""
+    """(doc_id, sig: array<long>) — k MinHash values, one agg pass.
+
+    Each md5 digest (32 hex chars) yields FOUR independent 32-bit lanes
+    (hex chars 1-8, 9-16, 17-24, 25-32), so k lanes cost k/4 md5
+    invocations per shingle — md5 dominates signature cost (round 1:
+    16 md5/shingle made d03 the slowest bench query). The md5 strings
+    are projected as columns BEFORE the groupBy so each is computed
+    once; the 4 substr/conv lanes per digest are codegen-cheap."""
     sh = shingles if shingles is not None else _doc_shingles(docs)
+    n_md5 = (k + 3) // 4
+    proj = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"mh{i}|"), F.col("sh"))).alias(f"m{i}")
+            for i in range(n_md5)
+        ],
+    )
     mins = [
-        F.min(hex60(F.concat(F.lit(f"mh{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(k)
+        F.min(
+            F.conv(F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"h{i}")
+        for i in range(k)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = proj.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
@@ -234,7 +254,9 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
 
 def _lsh_oracle_sql() -> str:
     mins = ",\n             ".join(
-        "min({h}) AS h{i}".format(h=hex60_sql("'mh%d|' || sh" % i), i=i)
+        "min(CAST(concat('0x', substr(md5('mh{m}|' || sh), {pos}, 8)) AS BIGINT)) AS h{i}".format(
+            m=i // 4, pos=(i % 4) * 8 + 1, i=i
+        )
         for i in range(MINHASH_K)
     )
     band_selects = []
