@@ -1,13 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose the full ocr_spark catalog — 50 entries, one per
+``oracle_sql()`` expose the full ocr_spark catalog — 55 entries (47
+oracle-gated), one per
 implemented operator (see COVERAGE.md for the SURVEY.md §2 map and
-ocr_spark/plans/__init__.py for the registry). The 10 entries without an
-oracle (extraction/multimodal fixtures x01-x06, LSH/IVF/k-means routing
-e02/e04/e05, sketches q21) have non-SQL-portable semantics and get the
-driver's rows-only check; each carries its own differential or
-property test instead (COVERAGE.md, rightmost column).
+ocr_spark/plans/__init__.py for the registry), including the streaming
+family s01-s05 which runs the real Structured Streaming queries to
+completion against the sf_dir parquet. The 8 entries without an oracle
+(extraction/multimodal fixtures x01-x06, streaming extraction s05,
+sketches q21) have non-SQL-portable semantics and get the driver's
+rows-only check; each carries its own differential or property test
+instead (COVERAGE.md, rightmost column).
 """
 
 from __future__ import annotations

@@ -16,7 +16,13 @@
       tests/test_similarity_recall.py).
   e05 k-means           — iterative Lloyd's on DataFrames (broadcast
       assignment + posexplode mean update); inertia monotonicity and
-      determinism pinned by tests.
+      determinism pinned by tests; the registered entry runs on
+      integer-micro quantized vectors so a DuckDB oracle reproduces the
+      3-iteration assignment bit-for-bit.
+
+e02/e04/e05 are fully oracle-gated: sign-LSH bucket keys, IVF routing
+and quantized Lloyd's are all exact integer/sequential-fold arithmetic
+replicated in generated DuckDB SQL (round 1 left them rows-only).
 """
 
 from __future__ import annotations
@@ -31,6 +37,10 @@ from ocr_spark.sources.io import load_table
 KNN_K = 5
 N_QUERIES = 5
 LSH_PLANES = 8
+# testdata embeddings are 64-dim at every SF; a constant (rather than a
+# plan-time .first() sniff) keeps plan construction action-free and lets
+# the DuckDB oracle generate the identical plane tables.
+EMBEDDING_DIM = 64
 
 
 def knn_bruteforce(
@@ -77,12 +87,15 @@ def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH ANN ------------------------------------------------------------------
 
 
-def _hyperplanes(
+def _plane_signs(
     dim: int, planes: int = LSH_PLANES, seed: int = 0
 ) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no RNG state, no numpy on
-    the driver hot path): weight(p,d) from a splitmix-style integer mix;
-    ``seed`` derives independent tables."""
+    """Deterministic ±1.0 sign hyperplanes (no RNG state, no numpy on
+    the driver hot path): sign(p,d) from a splitmix-style integer mix;
+    ``seed`` derives independent tables. Sign planes (random-sign
+    projections) are standard sign-LSH and — unlike dense float weights
+    — make the bucket key an exactly cross-engine-reproducible sum of
+    ±element terms."""
     out = []
     for p in range(planes):
         row = []
@@ -95,20 +108,25 @@ def _hyperplanes(
             z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
             z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
             z = z ^ (z >> 31)
-            row.append((z / float(1 << 64)) * 2.0 - 1.0)
+            row.append(1.0 if z >= (1 << 63) else -1.0)
         out.append(row)
     return out
 
 
 def lsh_bucket_key(emb_col, dim: int, planes: int = LSH_PLANES, seed: int = 0):
-    """Sign-of-projection bucket id (0..2^planes-1) as a Column."""
-    hps = _hyperplanes(dim, planes, seed)
+    """Sign-of-projection bucket id (0..2^planes-1) as a Column.
+
+    Each plane is ONE array literal (F.lit of the whole ±1 list), not
+    dim CreateArray(Literal…) nodes — round 1's per-element literals
+    bloated serialized tasks past the 1000 KiB warning threshold. The
+    projection is the JVM sequential fold (functions.vectors.dot), so
+    DuckDB's list_reduce reproduces the sign decision bit-for-bit."""
+    hps = _plane_signs(dim, planes, seed)
     key = F.lit(0).cast("long")
     for p, row in enumerate(hps):
-        plane = F.array(*[F.lit(x) for x in row])
-        sign_bit = F.when(dot(emb_col, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        sign_bit = F.when(
+            dot(emb_col, F.lit(row)) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         key = key + sign_bit
     return key
 
@@ -172,14 +190,64 @@ def ann_lsh(
     )
 
 
-@register("e02_ann_lsh")  # rows-only: bucket routing is not SQL-portable
+def _ann_lsh_oracle_sql(
+    dim: int = EMBEDDING_DIM,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_TABLE_PLANES,
+) -> str:
+    """DuckDB twin of ann_lsh: the ±1 sign planes are emitted as a
+    literal VALUES table; the projection is list_reduce over the
+    position-wise products, which folds left-to-right exactly like
+    Spark's F.aggregate — so every bucket key (and therefore the
+    candidate set, ranks, and cosines) is bit-identical."""
+    rows = []
+    for t in range(tables):
+        for p, signs in enumerate(_plane_signs(dim, planes, seed=t)):
+            lit = ", ".join(str(s) for s in signs)
+            rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(tbl, p, s) AS (VALUES
+      {values}
+    ),
+    keys AS (
+      SELECT e.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_reduce(
+                 list_transform(range(1, {dim + 1}),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * pl.s[i]),
+                 (a, b) -> a + b) > 0
+               THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+      FROM keys q JOIN keys c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT cand.qid, cand.vec_id,
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(ce.embedding AS DOUBLE[])) AS rawcos
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.qid
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    )
+    SELECT qid, vec_id,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY rawcos DESC, vec_id ASC) AS INT) AS rank,
+           round(rawcos, 6) AS cos
+    FROM scored QUALIFY rank <= {KNN_K}
+    """
+
+
+@register("e02_ann_lsh", oracle=_ann_lsh_oracle_sql())
 def e02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     return ann_lsh(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb.filter(F.col("vec_id") >= N_QUERIES),
-        dim,
+        EMBEDDING_DIM,
     )
 
 
@@ -306,7 +374,60 @@ def ivf_knn(
     )
 
 
-@register("e04_ivf_knn")  # rows-only: cell routing is not SQL-portable
+IVF_NPROBE = 4
+
+
+def _ivf_oracle_sql(nprobe: int = IVF_NPROBE) -> str:
+    """DuckDB twin of ivf_knn: same label-mean centroids as e03's
+    (proven-matching) oracle, candidate routing rn=1, query routing
+    rn<=nprobe, exact cosine rank inside probed cells."""
+    return f"""
+    WITH pos AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos)
+      GROUP BY label
+    ), cand_cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.centroid) DESC,
+                          c.cell ASC) AS crn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id >= {N_QUERIES})
+      WHERE crn = 1
+    ), q_cells AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.centroid) DESC,
+                          c.cell ASC) AS crn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {N_QUERIES})
+      WHERE crn <= {nprobe}
+    ), scored AS (
+      SELECT qc.qid, cc.vec_id,
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(ce.embedding AS DOUBLE[])) AS rawcos
+      FROM q_cells qc
+      JOIN cand_cells cc ON cc.cell = qc.cell
+      JOIN embeddings qe ON qe.vec_id = qc.qid
+      JOIN embeddings ce ON ce.vec_id = cc.vec_id
+    )
+    SELECT qid, vec_id,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY rawcos DESC, vec_id ASC) AS INT) AS rank,
+           round(rawcos, 6) AS cos
+    FROM scored QUALIFY rank <= {KNN_K}
+    """
+
+
+@register("e04_ivf_knn", oracle=_ivf_oracle_sql())
 def e04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = label_centroids(emb).select(F.col("label").alias("cand_label"), "centroid")
@@ -314,7 +435,7 @@ def e04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb.filter(F.col("vec_id") >= N_QUERIES),
         cent,
-        nprobe=4,
+        nprobe=IVF_NPROBE,
     )
 
 
@@ -322,11 +443,17 @@ def e04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sq_dist(a, b):
-    """Squared euclidean distance between two array columns (JVM fold)."""
+    """Squared euclidean distance between two array columns (JVM fold).
+
+    The square is an explicit multiply, not ``** 2`` (Math.pow) — the
+    multiply is the expression DuckDB's oracle also evaluates, so the
+    folded d2 is bit-identical across engines when the inputs are."""
+    def term(x, y):
+        d = x.cast("double") - y.cast("double")
+        return d * d
+
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with(a, b, term), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
@@ -368,21 +495,117 @@ def kmeans(
             prev.unpersist()
         prev = assigned
         pos = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-        means = pos.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+        # sum/count, not avg(): Spark's Average sums doubles in partition
+        # order; over integer (quantized) inputs sum() is the exact long
+        # sum and the division is the identical IEEE op in DuckDB
+        means = pos.groupBy("cell", "pos").agg(
+            (F.sum("v") / F.count(F.lit(1))).alias("m")
+        )
         cent = (
             means.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
         )
-    return assigned.select("vec_id", "cell", F.round("d2", 6).alias("d2")), cent, inertias
+    return assigned.select("vec_id", "cell", "d2"), cent, inertias
 
 
-@register("e05_kmeans")  # rows-only: iterative refinement is not SQL-portable
+KMEANS_ITERS = 3
+MICROS = 1000000.0
+
+
+def quantize_micros(emb_col):
+    """array<float> -> array<long> integer micro-units via floor (floor
+    has no midpoint rule, so engines cannot disagree the way HALF_UP
+    vs half-away rounding can)."""
+    return F.transform(
+        emb_col, lambda v: F.floor(v.cast("double") * F.lit(MICROS)).cast("long")
+    )
+
+
+def _kmeans_oracle_sql(iters: int = KMEANS_ITERS, dim: int = EMBEDDING_DIM) -> str:
+    """DuckDB twin of the quantized e05: every arithmetic step is the
+    identical IEEE expression in both engines — exact long sums /
+    count for centroids, sequential-fold (a-b)*(a-b) for d2 — so the
+    iterative assignment is reproducible bit-for-bit (the q23/q24
+    integer-cents technique applied to k-means)."""
+    d2 = (
+        "list_reduce(list_transform(range(1, {n}), "
+        "i -> (CAST(e.eq[i] AS DOUBLE) - c.centroid[i]) "
+        "* (CAST(e.eq[i] AS DOUBLE) - c.centroid[i])), (a, b) -> a + b)"
+    ).format(n=dim + 1)
+    parts = [
+        """
+    WITH emb_q AS (
+      SELECT vec_id, label,
+             [CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) FOR v IN embedding] AS eq
+      FROM embeddings
+    ), cent0 AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, CAST(sum(x) AS BIGINT) / count(*) AS m
+        FROM (SELECT label, unnest(eq) AS x,
+                     unnest(range(1, len(eq) + 1)) AS pos FROM emb_q)
+        GROUP BY label, pos)
+      GROUP BY label
+    )"""
+    ]
+    prev_cent = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(f""", assign{it} AS (
+      SELECT vec_id, eq, cell, d2 FROM (
+        SELECT e.vec_id, e.eq, c.cell, {d2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rn
+        FROM emb_q e CROSS JOIN {prev_cent} c)
+      WHERE rn = 1
+    )""")
+        if it < iters:
+            parts.append(f""", cent{it} AS (
+      SELECT cell, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT cell, pos, CAST(sum(x) AS BIGINT) / count(*) AS m
+        FROM (SELECT cell, unnest(eq) AS x,
+                     unnest(range(1, len(eq) + 1)) AS pos FROM assign{it})
+        GROUP BY cell, pos)
+      GROUP BY cell
+    )""")
+            prev_cent = f"cent{it}"
+    parts.append(
+        f"""
+    SELECT vec_id, CAST(cell AS INT) AS cell, d2 FROM assign{iters}
+    """
+    )
+    return "".join(parts)
+
+
+def label_centroids_exact(embq: DataFrame) -> DataFrame:
+    """Per-label exact mean of quantized (long) embeddings: exact long
+    sum / count, so the init centroids match DuckDB bit-for-bit."""
+    pos = embq.select("label", F.posexplode("eq").alias("pos", "x"))
+    means = pos.groupBy("label", "pos").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m")
+    )
+    return (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+@register("e05_kmeans", oracle=_kmeans_oracle_sql())
 def e05_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 Lloyd iterations from the label-centroid init (deterministic)."""
+    """3 Lloyd iterations from the per-label-mean init (deterministic).
+
+    Runs on integer-micro quantized embeddings so every assignment and
+    distance is bit-reproducible in the DuckDB oracle (see
+    _kmeans_oracle_sql) — round 1 left e05 as a rows-only entry; this
+    makes the iterative algorithm independently verified."""
     emb = load_table(spark, sf_dir, "embeddings")
-    init = label_centroids(emb).select(
+    embq = emb.select("vec_id", "label", quantize_micros(F.col("embedding")).alias("eq"))
+    init = label_centroids_exact(embq).select(
         F.col("label").cast("int").alias("cell"), "centroid"
     )
-    assigned, _cent, _inertia = kmeans(emb.select("vec_id", "embedding"), init, iters=3)
+    assigned, _cent, _inertia = kmeans(
+        embq.select("vec_id", F.col("eq").alias("embedding")), init, iters=KMEANS_ITERS
+    )
     return assigned

@@ -113,21 +113,35 @@ def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_o
 
     events = read_events_stream(spark, sf_dir)
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round_cents(v: float) -> int:
+        """Exact twin of the batch twin's F.round(value * 100): the IEEE
+        double product, then HALF_UP on its shortest decimal repr —
+        Spark's round() algorithm. Python's builtin round() is banker's
+        rounding and diverges at exact .5 sub-cent midpoints."""
+        p = float(v) * 100.0
+        return int(Decimal(repr(p)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
     def fn(key, pdfs, state):
         (user_id,) = key
         cum, emitted = state.get if state.exists else (0, 0)
         out_users, out_ms, out_cents = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                if pd.isna(v):
-                    continue
-                cum += int(round(float(v) * 100))
-                while cum >= (emitted + 1) * MILESTONE_CENTS:
-                    emitted += 1
-                    out_users.append(user_id)
-                    out_ms.append(emitted)
-                    out_cents.append(cum)
+        # buffer ALL Arrow chunks of the group, then sort once: sorting
+        # each chunk independently makes cum_cents at a milestone
+        # crossing depend on chunk arrival order for multi-chunk groups
+        whole = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for v in whole["value"]:
+            if pd.isna(v):
+                continue
+            cum += spark_round_cents(v)
+            while cum >= (emitted + 1) * MILESTONE_CENTS:
+                emitted += 1
+                out_users.append(user_id)
+                out_ms.append(emitted)
+                out_cents.append(cum)
         state.update((cum, emitted))
         if out_users:
             yield pd.DataFrame(
