@@ -171,9 +171,32 @@ from html import unescape as _unescape
 
 # The stdlib parser's own tolerant grammars — reused verbatim so the fast
 # scanner tokenizes identically (names, attr quoting, '</ P>' quirks).
-_TAGFIND_TOL = _hp.tagfind_tolerant
-_LOCATESTART = _hp.locatestarttagend_tolerant
-_ENDTAGFIND = _hp.endtagfind
+# Resolved via getattr: they are private internals a CPython upgrade may
+# rename, and the scanner's CDATA exit rule hard-codes the current
+# `</\s*tag` stdlib behavior (changed by recent security patches) — when
+# either assumption fails, _FAST_PATH_OK turns the fast path off and
+# parse_blocks_fast delegates to the stdlib path unconditionally instead
+# of breaking import or silently diverging.
+_TAGFIND_TOL = getattr(_hp, "tagfind_tolerant", None)
+_LOCATESTART = getattr(_hp, "locatestarttagend_tolerant", None)
+_ENDTAGFIND = getattr(_hp, "endtagfind", None)
+
+
+def _probe_stdlib_cdata() -> bool:
+    """True iff the running stdlib still exits script/style CDATA on the
+    bare `</\\s*tag` pattern the fast scanner replicates."""
+    try:
+        p = _hp.HTMLParser()
+        p.set_cdata_mode("script")
+        return p.interesting.pattern == r"</\s*script"
+    except Exception:  # noqa: BLE001 — any probe surprise disables fast path
+        return False
+
+
+_FAST_PATH_OK = (
+    all(r is not None for r in (_TAGFIND_TOL, _LOCATESTART, _ENDTAGFIND))
+    and _probe_stdlib_cdata()
+)
 _COMMENTCLOSE = re.compile(r"--\s*>")
 _ATTR_END_LETTERS = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
@@ -339,6 +362,8 @@ def parse_blocks_fast(raw: bytes) -> list[Block]:
     """Page bytes → block list via the fast tokenizer (never raises;
     falls back to the stdlib-parser path on anything it doesn't
     replicate)."""
+    if not _FAST_PATH_OK:
+        return parse_blocks(raw)
     html = decode_html(raw)
     h = _BlockParser()
     try:

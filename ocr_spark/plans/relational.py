@@ -299,10 +299,21 @@ def q12_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart protocol uses against the commit-marker table."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return c.sparkSession.createDataFrame(
-        [(with_o, without_o)], "n_with_orders long, n_without_orders long"
+    # one plan, one job: a single left join against distinct orderer keys
+    # marks each customer, then both counts fall out of one aggregate —
+    # round 1 ran two separate .count() actions + a createDataFrame
+    mark = (
+        o.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(1))
+    )
+    return (
+        c.select("c_custkey")
+        .join(mark, "c_custkey", "left")
+        .agg(
+            F.count(F.col("has_order")).alias("n_with_orders"),
+            F.count(F.when(F.col("has_order").isNull(), 1)).alias("n_without_orders"),
+        )
     )
 
 
@@ -446,12 +457,19 @@ def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     ordered = o.select(F.col("o_custkey").alias("c_custkey"))
-    rows = [
-        ("only_building", building.exceptAll(ordered.distinct()).distinct().count()),
-        ("intersect", building.intersect(ordered).count()),
-        ("union_all_rows", c.select("c_custkey").unionAll(ordered).count()),
-    ]
-    return spark.createDataFrame(rows, "tag string, n long")
+
+    # one plan: union of the three aggregate subplans (round 1 drove
+    # three .count() actions and rebuilt a local DataFrame)
+    def tagged(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("tag"), "n"
+        )
+
+    return (
+        tagged("only_building", building.exceptAll(ordered.distinct()).distinct())
+        .unionByName(tagged("intersect", building.intersect(ordered)))
+        .unionByName(tagged("union_all_rows", c.select("c_custkey").unionAll(ordered)))
+    )
 
 
 # --- scalar functions ---------------------------------------------------------

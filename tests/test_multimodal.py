@@ -52,7 +52,7 @@ def test_audio_windows_plumbing(spark):
     for r in ok[:50]:
         assert 0.0 <= r.rms <= 1.0 and r.rms <= r.peak <= 1.0
     # deterministic across runs
-    again = audio_windows(pages.select("url", F.col("payload") if False else F.col("html").alias("payload"))).collect()
+    again = audio_windows(pages.select("url", F.col("html").alias("payload"))).collect()
     assert {(r.url, r.win_idx, r.rms) for r in rows} == {(r.url, r.win_idx, r.rms) for r in again}
 
 
