@@ -2,12 +2,15 @@
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
 The Spark-side plumbing (schemas, batch iteration, one-to-many frame
-expansion, partition-friendly signatures) is real and tested; the actual
-codecs (PIL/ffmpeg/librosa) are NOT in this container, so the decode step
-is STUBBED: ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, where a deterministic byte-derived pseudo-decode
-stands in. Swapping in a real codec changes only those two functions —
-the Spark plan is untouched.
+expansion, partition-friendly signatures) is real and tested. The decode
+seam is three-tier: rich codecs (PIL/ffmpeg/librosa — NOT in this
+container) when importable; a built-in REAL decode for the codec-free
+formats (binary P6 PPM images, 16-bit PCM WAV audio — golden-tested in
+tests/test_codecs.py); NotImplementedError otherwise. ``fake=True``
+substitutes a deterministic byte-derived pseudo-decode so the
+distributed plumbing is testable on arbitrary payloads. Swapping in a
+richer codec changes only decode_image/decode_audio — the Spark plan is
+untouched.
 """
 
 from __future__ import annotations
@@ -29,21 +32,73 @@ FRAME_SAMPLE_DDL = "url string, frame_idx int, frame_ts_ms long, frame_digest st
 FEATURE_DIM = 16
 
 
+def _decode_ppm(raw: bytes) -> "np.ndarray | None":
+    """Built-in real decode for binary P6 PPM (the codec-free image
+    format): header tokens (with # comments) then raw RGB bytes.
+    Returns an (h, w, 3) uint8 array, or None if not P6."""
+    if not raw.startswith(b"P6"):
+        return None
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"#":  # comment to end of line
+            j = raw.find(b"\n", i)
+            i = len(raw) if j < 0 else j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(raw) and not raw[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(raw[i:j]))
+            i = j
+    if len(tokens) < 3 or i >= len(raw):
+        raise ValueError("truncated PPM header")
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1  # single whitespace after maxval
+    need = w * h * 3
+    body = raw[i : i + need]
+    if len(body) < need:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
 def decode_image(raw: bytes, fake: bool = False):
-    """STUB: real decoding needs an image codec not present in this
-    container. The fake path derives deterministic dims/pixels from the
-    bytes so the distributed plumbing is testable end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "or plug a real decoder here"
-        )
-    h = hashlib.sha256(raw).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    channels = 3
-    seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-    return width, height, channels, seed
+    """Image decode seam. Three tiers:
+      1. PIL, when installed (not in this container) — any format;
+      2. the built-in pure-numpy P6 PPM parser (a REAL decode, no
+         external codec needed) — the golden-tested path here;
+      3. otherwise NotImplementedError: plugging a richer codec in is a
+         one-function change and the golden test gates it.
+    The fake path derives deterministic dims/pixels from the bytes so
+    the distributed plumbing is testable on arbitrary payloads."""
+    if fake:
+        h = hashlib.sha256(raw).digest()
+        width = 64 + h[0] % 192
+        height = 64 + h[1] % 192
+        channels = 3
+        seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        return width, height, channels, seed
+    try:
+        import io as _io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(_io.BytesIO(raw)).convert("RGB")
+        arr = np.asarray(img)
+    except ImportError:
+        arr = _decode_ppm(raw)
+        if arr is None:
+            raise NotImplementedError(
+                "no codec for this payload (PIL absent; built-in decode "
+                "covers binary P6 PPM only) — plug a real decoder here"
+            ) from None
+    h, w, channels = arr.shape
+    seed = arr.reshape(-1)[:64].astype(np.float32)
+    return w, h, channels, seed
 
 
 def _feature_from(seed: np.ndarray) -> np.ndarray:
@@ -117,17 +172,35 @@ AUDIO_WIN = 4_000  # samples per analysis window (250 ms at 16 kHz)
 
 
 def decode_audio(raw: bytes, fake: bool = False) -> "np.ndarray":
-    """STUB: real decoding needs an audio codec not present in this
-    container. The fake path interprets the payload bytes directly as
-    int16 PCM (deterministic, length-preserving) so the windowing
-    pipeline is testable end-to-end."""
-    if not fake:
+    """Audio decode seam. The real path decodes 16-bit PCM WAV via the
+    stdlib ``wave`` module (a REAL decode, no external codec; channels
+    are mean-downmixed to mono) and raises NotImplementedError for
+    anything else — swapping in ffmpeg/librosa later is a one-function
+    change gated by the golden test. The fake path interprets the
+    payload bytes directly as int16 PCM (deterministic,
+    length-preserving) so the windowing pipeline is testable on
+    arbitrary payloads."""
+    if fake:
+        usable = len(raw) - (len(raw) % 2)
+        return np.frombuffer(raw[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    import io as _io
+    import wave
+
+    try:
+        with wave.open(_io.BytesIO(raw)) as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("built-in decode covers 16-bit PCM WAV only")
+            pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                np.float64
+            ) / 32768.0
+            n_ch = w.getnchannels()
+    except (wave.Error, EOFError) as e:
         raise NotImplementedError(
-            "audio codec not available in this environment; pass fake=True "
-            "or plug a real decoder here"
-        )
-    usable = len(raw) - (len(raw) % 2)
-    return np.frombuffer(raw[:usable], dtype="<i2").astype(np.float64) / 32768.0
+            f"no codec for this payload (stdlib wave: {e}) — plug a real decoder here"
+        ) from None
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm
 
 
 def audio_windows(df: DataFrame, payload_col: str = "payload", fake: bool = True) -> DataFrame:

@@ -31,6 +31,57 @@ TESTDATA_TABLES = (
 )
 
 
+ICEBERG_CATALOG = "ocr"
+PAGES_TABLE = f"{ICEBERG_CATALOG}.db.pages"
+# BASELINE.json partition spec: day-grain on crawl timestamp for pruning
+# by crawl window, 16-way url-hash buckets so giant hosts cannot skew a
+# partition and co-located joins on url need no shuffle
+PAGES_PARTITION_SPEC = "days(warc_ts), bucket(16, url)"
+
+
+def iceberg_session_conf(warehouse: str) -> dict:
+    """Session conf wiring a local Hadoop-type Iceberg catalog named
+    ``ocr`` (pass to build_session(extra_conf=...)). On a real cluster
+    swap type/warehouse for the Glue/REST/Hive catalog of the
+    environment; every reader/writer below is catalog-agnostic."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{ICEBERG_CATALOG}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{ICEBERG_CATALOG}.type": "hadoop",
+        f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse": warehouse,
+    }
+
+
+def iceberg_jar_present() -> bool:
+    """True iff an iceberg-spark-runtime jar is reachable (bundled with
+    pyspark, or pointed to by SPARK_GRAFT_ICEBERG_JAR). The sandbox has
+    none — the integration test skips, the seam stays exercised."""
+    import glob
+
+    import pyspark
+
+    bundled = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar")
+    )
+    extra = os.environ.get("SPARK_GRAFT_ICEBERG_JAR", "")
+    return bool(bundled) or (bool(extra) and os.path.exists(extra))
+
+
+def create_pages_table(spark: SparkSession, table: str = PAGES_TABLE) -> None:
+    """DDL for the Common-Crawl-style pages table with the production
+    partition spec (PAGES_PARTITION_SPEC)."""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table} (
+          url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
+        ) USING iceberg
+        PARTITIONED BY ({PAGES_PARTITION_SPEC})
+        """
+    )
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         return (
@@ -61,7 +112,22 @@ def read_pages(spark: SparkSession, path: str, table: str | None = None) -> Data
     return spark.read.parquet(path)
 
 
-def write_extracted(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+def write_extracted(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    table: str | None = None,
+) -> None:
+    """Write extraction output — Iceberg table when the catalog is wired
+    (atomic snapshot commit, the production sink), else Parquet path."""
+    if table and _iceberg_available(df.sparkSession):
+        writer = df.writeTo(table)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
