@@ -183,12 +183,16 @@ _ENDTAGFIND = getattr(_hp, "endtagfind", None)
 
 
 def _probe_stdlib_cdata() -> bool:
-    """True iff the running stdlib still exits script/style CDATA on the
-    bare `</\\s*tag` pattern the fast scanner replicates."""
+    """True iff the running stdlib exits script/style CDATA on the strict
+    `</\\s*tag\\s*>` rule the fast scanner replicates (the scanner's
+    cdata_re is only the candidate finder; the real exit check is the
+    full _ENDTAGFIND match). Pre-security-patch CPythons used the bare
+    `</\\s*tag` interesting pattern, whose bogus-endtag handling inside
+    CDATA differs — the fast path must stand down there."""
     try:
         p = _hp.HTMLParser()
         p.set_cdata_mode("script")
-        return p.interesting.pattern == r"</\s*script"
+        return p.interesting.pattern == r"</\s*script\s*>"
     except Exception:  # noqa: BLE001 — any probe surprise disables fast path
         return False
 

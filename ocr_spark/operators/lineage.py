@@ -160,3 +160,77 @@ def run_complete(spark: SparkSession, out_dir: str, run_id: str, n_buckets: int)
         m.filter(F.col("run_id") == run_id).select("partition_id").distinct().count()
         == n_buckets
     )
+
+
+def size_class_latches(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    bucketed: DataFrame,
+    n_salt: int | None = None,
+) -> DataFrame:
+    """Nested finish scopes: one latch per size class, rolled up from the
+    bucket-grain markers — the reference's finish-EDTs nest, with a
+    child scope's completion counting down the parent's latch
+    (`/root/reference/src/task/hc/hc-task.c:169-215`); round 1 had only
+    the flat run-level latch.
+
+    bucket = size_class * n_salt + salt (operators.partitioning), so the
+    class scope is bucket div n_salt. Returns one row per size class
+    present in the input: (size_class, n_expected, n_committed,
+    complete) — the run-level latch is the conjunction, which
+    run_rollup_complete() evaluates in the same single plan.
+
+    Operationally this is the restart planner's unit of progress: a
+    resume can report/schedule per size class (big-page classes finish
+    last), and a monitoring layer alerts on a class that stalls while
+    others drain.
+    """
+    from ocr_spark.operators.partitioning import DEFAULT_SALT
+
+    n_salt = n_salt or DEFAULT_SALT
+    expected = (
+        bucketed.select("bucket")
+        .distinct()
+        .select(
+            (F.col("bucket") / n_salt).cast("int").alias("size_class"), "bucket"
+        )
+        .groupBy("size_class")
+        .agg(F.count(F.lit(1)).alias("n_expected"))
+    )
+    m = read_metrics(spark, out_dir)
+    if m is None:
+        committed = spark.createDataFrame([], "size_class int, n_committed long")
+    else:
+        committed = (
+            m.filter(F.col("run_id") == run_id)
+            .select("partition_id")
+            .distinct()
+            .select((F.col("partition_id") / n_salt).cast("int").alias("size_class"))
+            .groupBy("size_class")
+            .agg(F.count(F.lit(1)).alias("n_committed"))
+        )
+    return (
+        expected.join(committed, "size_class", "left")
+        .select(
+            "size_class",
+            "n_expected",
+            F.coalesce("n_committed", F.lit(0)).alias("n_committed"),
+            (F.coalesce("n_committed", F.lit(0)) == F.col("n_expected")).alias(
+                "complete"
+            ),
+        )
+        .orderBy("size_class")
+    )
+
+
+def run_rollup_complete(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    bucketed: DataFrame,
+    n_salt: int | None = None,
+) -> bool:
+    """Run-level finish = every size-class latch closed (one plan)."""
+    latches = size_class_latches(spark, out_dir, run_id, bucketed, n_salt)
+    return latches.agg(F.min(F.col("complete").cast("int"))).collect()[0][0] == 1

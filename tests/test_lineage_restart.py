@@ -8,7 +8,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.fixtures import golden_df, pages_df
-from ocr_spark.operators.lineage import read_metrics, run_complete, run_extraction
+from ocr_spark.operators.lineage import (
+    read_metrics,
+    run_complete,
+    run_extraction,
+    run_rollup_complete,
+    size_class_latches,
+)
 from ocr_spark.operators.partitioning import with_size_buckets
 
 N_DOCS = 300
@@ -70,3 +76,24 @@ def test_kill_resume(spark, pages, tmp_path_factory):
         .count()
     )
     assert bad == 0
+
+
+def test_size_class_rollup(spark, pages, tmp_path_factory):
+    """Nested finish scopes: after a partial run the per-class latches
+    report mixed progress that sums to the flat view; after resume every
+    class latch closes and the roll-up agrees with run_complete."""
+    out = str(tmp_path_factory.mktemp("lineage_rollup"))
+    bucketed = with_size_buckets(pages.select("url", "html", "text"))
+    n_buckets = bucketed.select("bucket").distinct().count()
+
+    run_extraction(spark, pages, out, run_id="r2", max_buckets=K)
+    latches = size_class_latches(spark, out, "r2", bucketed).collect()
+    assert sum(r.n_expected for r in latches) == n_buckets
+    assert sum(r.n_committed for r in latches) == K
+    assert not run_rollup_complete(spark, out, "r2", bucketed)
+
+    run_extraction(spark, pages, out, run_id="r2")
+    latches = size_class_latches(spark, out, "r2", bucketed).collect()
+    assert all(r.complete for r in latches)
+    assert run_rollup_complete(spark, out, "r2", bucketed)
+    assert run_complete(spark, out, "r2", n_buckets)
