@@ -70,14 +70,20 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     warm.limit(10_000).groupBy("l_returnflag").agg(F.sum("l_quantity")).count()
 
+    # two timed passes per query, min reported: single shots on this
+    # shared-host VM vary ±20% (BENCH/BASELINE.md methodology); min-of-N
+    # is applied uniformly so totals are comparable across rounds
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     extract_rate = None
     if os.environ.get("SPARK_GRAFT_BENCH_EXTRACT", "1") == "1":

