@@ -41,14 +41,17 @@ HEADLINE = [
     "q24_correlated_subquery",
     "q25_range_frame",
     "q26_hash_split",
+    "q28_range_join",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_simhash",
     "d05_embedding_neardup",
+    "d07_dupgram_filter",
     "t02_quality_score",
     "t05_title_editdist",
     "t06_langid_ngram",
     "t04_fingerprint",
+    "t07_pii_redact",
     "e01_knn_bruteforce",
     "e03_centroid_assign",
     "e04_ivf_knn",

@@ -493,6 +493,71 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+# --- corpus-level duplicated-ngram filter (CCNet-style) -----------------------
+
+DUPGRAM_MIN_DOCS = 2
+BOILERPLATE_FRACTION = 0.5
+
+
+def dupgram_stats(docs: DataFrame, min_docs: int = DUPGRAM_MIN_DOCS) -> DataFrame:
+    """Per-doc duplicated-ngram statistics — the corpus-level repetition
+    filter of CCNet-style pipelines (drop/flag documents dominated by
+    text shared with other documents, e.g. boilerplate headers, mirrored
+    articles).
+
+    Shape: distinct 3-gram explode (narrow) → global gram frequency
+    (shuffle #1, map-side combined) → join back + per-doc aggregate
+    (shuffle #2). At 100 TB the frequency table is the classic hot-key
+    surface: ubiquitous grams ("click here to") dominate a handful of
+    reducers — AQE skew splitting handles the join side, and the groupBy
+    is pre-combined per mapper so the exchange carries one row per
+    distinct gram per partition. At extreme scale swap the exact count
+    for a count-min sketch broadcast; the exact form is the oracle-able
+    baseline.
+
+    dup_fraction is emitted as the raw long/long division (identical
+    IEEE expression in DuckDB) — no rounding, no midpoint hazard."""
+    toks = docs.select("doc_id", norm_tokens("text").alias("ts"))
+    g = toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles3(F.col("ts")))).alias("sh")
+    )
+    freq = g.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    frac = F.count(F.when(F.col("n_docs") >= min_docs, 1)) / F.count(F.lit(1))
+    return (
+        g.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_dup_grams"),
+            frac.alias("dup_fraction"),
+            (frac >= BOILERPLATE_FRACTION).alias("boilerplate"),
+        )
+    )
+
+
+@register(
+    "d07_dupgram_filter",
+    oracle=_SHINGLE_CTE
+    + f"""
+    , freq AS (
+      SELECT sh, count(*) AS n_docs FROM doc_sh GROUP BY sh
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN n_docs >= {DUPGRAM_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(sum(CASE WHEN n_docs >= {DUPGRAM_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*) AS dup_fraction,
+           (CAST(sum(CASE WHEN n_docs >= {DUPGRAM_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*) >= {BOILERPLATE_FRACTION}) AS boilerplate
+    FROM doc_sh JOIN freq USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def d07_dupgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dupgram_stats(load_table(spark, sf_dir, "documents"))
+
+
 # --- transitive dup clusters (connected components) ---------------------------
 
 CC_MAX_ITERS = 20

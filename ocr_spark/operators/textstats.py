@@ -305,3 +305,80 @@ def q26_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- PII detection + redaction ------------------------------------------------
+
+# Patterns deliberately use only syntax Java regex and RE2 share
+# (char classes, bounded repeats, \d, \b) — see module docstring.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII scrub: count + redact email addresses and NANP-style
+    phone numbers, emit the redacted digest so downstream joins can use
+    the clean text identity. One scan, zero shuffle, zero Python —
+    regexp_count/regexp_replace are JVM codegen'd, which is the only
+    acceptable cost profile for a full-corpus scrub pass at 100 TB.
+    Swap-in point for richer detectors (NER models) is a pandas-UDF
+    stage with this exact output schema."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_digest"),
+    )
+
+
+@register(
+    "t07_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-867-5309 x' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{PHONE_RE}', '[PHONE]', 'g') AS clean,
+             CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones
+      FROM enriched
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(length(clean) AS INT) AS clean_len,
+           md5(clean) AS clean_digest
+    FROM red
+    """,
+)
+def t07_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata corpus is synthetic word soup with no real PII, so a
+    deterministic contact line is appended to every 7th doc BY BOTH
+    ENGINES (same expression in the oracle) — the detector/redactor is
+    exercised on true positives and true negatives alike."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 x"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_redact(enriched)

@@ -806,3 +806,66 @@ def q27_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_raw", F.lit(0)).alias("n"),
         )
     )
+
+
+@register(
+    "q28_range_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch(ts) AS cts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, epoch(ts) AS vts FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id, c.event_id,
+           CAST(count(v.vts) AS BIGINT) AS n_views_1h
+    FROM clicks c LEFT JOIN views v
+      ON v.user_id = c.user_id AND v.vts >= c.cts - 3600 AND v.vts < c.cts
+    GROUP BY c.user_id, c.event_id
+    """,
+)
+def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: views within the hour before each click,
+    executed as a BANDED join — each click probes exactly the two hour
+    buckets its window can span, each view lands in one bucket, so the
+    join is equi on (user_id, hour_bucket) with the exact range check as
+    a residual filter. A naive equality-only join on user_id would pair
+    every click with every view of that user (quadratic for whale
+    users); banding bounds the per-task pair count by the bucket width
+    regardless of key skew — the time-domain analogue of d03's LSH
+    banding, and the shape a 100 TB point-in-interval join needs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", epoch.alias("cts")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", epoch.alias("vts")
+    )
+    # window (cts-3600, cts] spans exactly buckets hb-1 and hb
+    c_b = clicks.select(
+        "user_id",
+        "event_id",
+        "cts",
+        F.explode(
+            F.array(
+                (F.floor(F.col("cts") / 3600) - 1).alias("a"),
+                F.floor(F.col("cts") / 3600),
+            )
+        ).alias("hb"),
+    )
+    v_b = views.select("user_id", "vts", F.floor(F.col("vts") / 3600).alias("hb"))
+    matched = (
+        c_b.join(v_b, ["user_id", "hb"])
+        .filter((F.col("vts") >= F.col("cts") - 3600) & (F.col("vts") < F.col("cts")))
+        .groupBy("user_id", "event_id")
+        .agg(F.count(F.lit(1)).alias("n_views_1h"))
+    )
+    return (
+        clicks.join(matched, ["user_id", "event_id"], "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce("n_views_1h", F.lit(0)).alias("n_views_1h"),
+        )
+    )
