@@ -52,6 +52,8 @@ HEADLINE = [
     "t06_langid_ngram",
     "t04_fingerprint",
     "t07_pii_redact",
+    "t08_vocab_topk",
+    "p01_chunking",
     "e01_knn_bruteforce",
     "e03_centroid_assign",
     "e04_ivf_knn",

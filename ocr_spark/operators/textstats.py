@@ -382,3 +382,50 @@ def t07_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return pii_redact(enriched)
+
+
+# --- vocabulary heavy-hitters -------------------------------------------------
+
+VOCAB_TOPK = 10
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    """Top-k most frequent tokens per language — the vocabulary-building
+    pass of tokenizer training. Token explode is narrow; the (lang,
+    token) count is map-side combined, so the exchange carries one row
+    per distinct (lang, token) per mapper; the per-lang top-k is a
+    window over the (small) distinct-token table, never the corpus. At
+    100 TB vocab counting is THE canonical heavy-hitter job — the exact
+    form here is oracle-able; a count-min/space-saving sketch drops in
+    for single-pass approximate mode. Ties broken lexicographically for
+    cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select("lang", F.explode(norm_tokens("text")).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "tok", "rank", "n")
+    )
+
+
+@register(
+    "t08_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok
+    )
+    SELECT lang, tok,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS INT)
+             AS rank,
+           n
+    FROM counts
+    QUALIFY rank <= {VOCAB_TOPK}
+    """,
+)
+def t08_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
