@@ -90,6 +90,30 @@ def test_d05_plan_is_distributed(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_q28_banded_join_is_hash_equi(spark, sf_dir):
+    """The range join must execute as a hash equi-join on the banded
+    keys with the range check residual — never a nested-loop/cartesian
+    pairing (the quadratic-whale-user failure mode)."""
+    plan = _plan(QUERIES["q28_range_join"](spark, sf_dir))
+    assert "HashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_p01_chunking_zero_shuffle(spark, sf_dir):
+    """Chunking is sequence+posexplode+slice — one narrow scan, no
+    exchange at any corpus size."""
+    plan = _plan(QUERIES["p01_chunking"](spark, sf_dir))
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_t08_vocab_has_partial_agg(spark, sf_dir):
+    """Heavy-hitter counting must map-side combine: the exchange carries
+    per-(lang,token) partials, never exploded token rows."""
+    plan = _plan(QUERIES["t08_vocab_topk"](spark, sf_dir))
+    assert "partial_count" in plan
+
+
 def test_size_bucket_repartition_fills_partitions(spark):
     """Regression: with n_salt fixed at 8 the distinct-bucket count
     (~occupied size classes x 8) capped effective parallelism at ~27
