@@ -91,6 +91,9 @@ class _BlockParser(HTMLParser):
 
     # -- block lifecycle ------------------------------------------------
     def _flush(self) -> None:
+        if not self._parts:  # most flushes close empty blocks: skip the
+            self._link_chars = 0  # join/strip entirely (profiled ~5%)
+            return
         text = "".join(self._parts)
         stripped = text.strip()
         if stripped:

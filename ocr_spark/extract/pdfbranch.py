@@ -116,27 +116,30 @@ def _connected_components(bm: np.ndarray) -> list[tuple[int, int, int, int]]:
     next_label = 0
     prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label)
     boxes: dict[int, list[int]] = {}
-    for y in range(bm.shape[0]):
-        row = bm[y]
-        # horizontal runs via diff of padded row
-        d = np.diff(np.concatenate(([0], row.view(np.int8), [0])))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1) - 1
-        runs: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts.tolist(), ends.tolist()):
-            label = next_label
-            parent[label] = label
-            next_label += 1
-            for px0, px1, pl in prev_runs:
-                if px0 <= x1 and x0 <= px1:  # 4-connectivity overlap
-                    union(pl, label)
-            runs.append((x0, x1, label))
-        prev_runs = runs
-        for x0, x1, label in runs:
-            b = boxes.setdefault(label, [x0, x1, y, y])
-            b[0] = min(b[0], x0)
-            b[1] = max(b[1], x1)
-            b[3] = y
+    # all horizontal runs in ONE padded 2D diff (row-major order), not a
+    # numpy round-trip per row — per-row call overhead dominated the
+    # decode profile; runs align start/end pairwise within each row
+    v = bm.view(np.int8)
+    pad = np.zeros((v.shape[0], 1), dtype=np.int8)
+    d = np.diff(np.concatenate([pad, v, pad], axis=1), axis=1)
+    sy, sx = np.nonzero(d == 1)
+    _ey, ex = np.nonzero(d == -1)
+    sy_l, sx_l, ex_l = sy.tolist(), sx.tolist(), (ex - 1).tolist()
+    prev_row = -2
+    runs: list[tuple[int, int, int]] = []
+    for y, x0, x1 in zip(sy_l, sx_l, ex_l):
+        if y != prev_row:
+            prev_runs = runs if y == prev_row + 1 else []
+            runs = []
+            prev_row = y
+        label = next_label
+        parent[label] = label
+        next_label += 1
+        for px0, px1, pl in prev_runs:
+            if px0 <= x1 and x0 <= px1:  # 4-connectivity overlap
+                union(pl, label)
+        runs.append((x0, x1, label))
+        boxes[label] = [x0, x1, y, y]
     merged: dict[int, list[int]] = {}
     for label, b in boxes.items():
         root = find(label)
