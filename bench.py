@@ -47,6 +47,7 @@ HEADLINE = [
     "d04_simhash",
     "d05_embedding_neardup",
     "d07_dupgram_filter",
+    "d08_incremental_dedup",
     "t02_quality_score",
     "t05_title_editdist",
     "t06_langid_ngram",

@@ -19,6 +19,11 @@ Four tiers, each a registered catalog query over `documents`:
   d06 dup clusters — transitive near-dup groups: iterative min-label
                      propagation (connected components) over the d03
                      pair graph, matched against a recursive-CTE oracle.
+  d07 dupgram      — corpus-level duplicated-ngram filter (CCNet-style
+                     boilerplate-dominated-doc detection).
+  d08 incremental  — new-batch-vs-persisted-index dedup (continuous
+                     crawl): the seen corpus is probed via its band-key
+                     index, never recomputed.
 
 All hashes are md5-derived (functions.text.hex60) so the DuckDB oracle
 reproduces them bit-for-bit.
@@ -220,15 +225,15 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs colliding in >=1 MinHash band.
-
-    All band keys come from ONE pass over the signature table
-    (posexplode of a per-row key array) — a per-band union would
-    recompute the signature aggregation `bands` times (measured: 15
-    exchanges in the d03 plan vs 7 with the explode)."""
+    """(doc_id, band, band_key) — all band keys in ONE pass over the
+    signature table (posexplode of a per-row key array); a per-band
+    union would recompute the signature aggregation `bands` times
+    (measured: 15 exchanges in the d03 plan vs 7 with the explode).
+    At cluster scale this is the persisted LSH *index* table,
+    partitioned by (band, band_key)."""
     keys = F.array(
         *[
             F.md5(
@@ -239,7 +244,14 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    bk = sig.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+    return sig.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs colliding in >=1 MinHash band."""
+    bk = lsh_band_keys(sig, bands, rows)
     a = bk.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b2 = bk.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -253,8 +265,9 @@ def lsh_candidate_pairs(
 def minhash_lsh_dedup(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact Jaccard.
 
-    Cost shape at corpus scale: signatures are a zero-shuffle per-row
-    fold; the band-key self-join shuffles 4 small rows per doc; the
+    Cost shape at corpus scale: the signature aggregation map-side
+    combines (the exchange carries per-doc partials, not shingle rows);
+    the band-key self-join shuffles 4 small rows per doc; the
     shingle explode needed for the exact verify runs ONLY over docs
     that appear in some candidate pair (left_semi against the candidate
     id set) — near-dups are rare, so the exploded verify input is a
@@ -270,7 +283,7 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     return ngram_jaccard_pairs(docs, threshold, candidates=cands, shingles=sh)
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_oracle_sql(cand_cond: str = "a.doc_id < b.doc_id") -> str:
     mins = ",\n             ".join(
         "min(CAST(concat('0x', substr(md5('mh{m}|' || sh), {pos}, 8)) AS BIGINT)) AS h{i}".format(
             m=i // 4, pos=(i % 4) * 8 + 1, i=i
@@ -295,7 +308,7 @@ def _lsh_oracle_sql() -> str:
     ), cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-                        AND a.doc_id < b.doc_id
+                        AND {cand_cond}
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -315,6 +328,60 @@ def _lsh_oracle_sql() -> str:
 @register("d03_minhash_lsh", oracle=_lsh_oracle_sql())
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- incremental dedup against a persisted index ------------------------------
+
+SEEN_SPLIT = 250  # testdata split: doc_id < SEEN_SPLIT = already-indexed corpus
+
+
+def incremental_neardup_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an already-seen corpus —
+    the continuous-crawl shape: the seen corpus's band keys are a
+    persisted index table (written once, partitioned by (band,
+    band_key)); each ingest batch computes only its own signatures and
+    probes the index. Cost per batch is O(batch) + the (tiny) collision
+    join — the seen corpus is never re-shingled, re-hashed, or
+    re-shuffled. Old-old and new-new pairs are deliberately excluded:
+    the former were found when the index was built, the latter by
+    running d03 on the batch.
+
+    The exact-Jaccard verify explodes shingles only for documents named
+    in some candidate pair (both sides), same as d03."""
+    idx = lsh_band_keys(minhash_signatures(old_docs)).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    probe = lsh_band_keys(minhash_signatures(new_docs)).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    cands = idx.join(probe, ["band", "band_key"]).select("doc_a", "doc_b").distinct()
+    cands = cands.cache()
+    all_docs = old_docs.unionByName(new_docs)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _doc_shingles(all_docs.join(cand_docs, "doc_id", "left_semi")).cache()
+    return ngram_jaccard_pairs(all_docs, threshold, candidates=cands, shingles=sh)
+
+
+@register(
+    "d08_incremental_dedup",
+    oracle=_lsh_oracle_sql(
+        cand_cond=f"a.doc_id < {SEEN_SPLIT} AND b.doc_id >= {SEEN_SPLIT}"
+    ),
+)
+def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") < SEEN_SPLIT),
+        docs.filter(F.col("doc_id") >= SEEN_SPLIT),
+    )
 
 
 # --- SimHash ------------------------------------------------------------------
