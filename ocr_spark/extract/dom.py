@@ -205,6 +205,11 @@ _FAST_PATH_OK = (
     and _probe_stdlib_cdata()
 )
 _COMMENTCLOSE = re.compile(r"--\s*>")
+# Tags whose start/end the block parser reacts to at all — the fast
+# scanner skips the handler call for everything else (handle_starttag/
+# handle_endtag are no-ops outside this set, and the call overhead is
+# ~5% of scan time on tag-dense pages).
+_DISPATCH_TAGS = _SKIP_TAGS | _BLOCK_TAGS | {"a", "body"}
 _ATTR_END_LETTERS = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
@@ -297,9 +302,11 @@ def _scan_tokens(html: str, h: _BlockParser) -> None:
             # loop; _LOCATESTART already consumed the attrs, so the
             # terminator is endpos[-1] ('>') or '/>'.
             if html[endpos - 2 : endpos] == "/>":
-                h.handle_startendtag(tag, [])
+                if tag in _BLOCK_TAGS:  # handle_startendtag no-ops otherwise
+                    h.handle_startendtag(tag, [])
             else:
-                h.handle_starttag(tag, [])
+                if tag in _DISPATCH_TAGS:
+                    h.handle_starttag(tag, [])
                 if tag in ("script", "style"):  # CDATA_CONTENT_ELEMENTS
                     cdata = tag
                     cdata_re = re.compile(r"</\s*%s" % tag, re.IGNORECASE)
@@ -327,7 +334,8 @@ def _scan_tokens(html: str, h: _BlockParser) -> None:
                     continue
                 tagname = nm.group(1).lower()
                 p = find(">", nm.end())
-                h.handle_endtag(tagname)
+                if tagname in _DISPATCH_TAGS:
+                    h.handle_endtag(tagname)
                 i = p + 1  # stdlib returns gtpos+1 even when p == -1 -> 0?
                 if p == -1:
                     return  # find('>') == -1 => stdlib returns 0: stops
@@ -337,7 +345,8 @@ def _scan_tokens(html: str, h: _BlockParser) -> None:
                 h.handle_data(html[i:gtpos])
                 i = gtpos
                 continue
-            h.handle_endtag(elem)
+            if elem in _DISPATCH_TAGS:
+                h.handle_endtag(elem)
             cdata = None
             cdata_re = None
             i = gtpos
