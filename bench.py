@@ -42,6 +42,8 @@ HEADLINE = [
     "q25_range_frame",
     "q26_hash_split",
     "q28_range_join",
+    "q29_stratified_sample",
+    "g01_pagerank",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_simhash",

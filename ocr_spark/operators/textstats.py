@@ -429,3 +429,56 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
 )
 def t08_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+# --- stratified sampling ------------------------------------------------------
+
+# per-language keep rates in permille: downsample the dominant language,
+# keep the tail — the language-mix rebalancing step of corpus curation
+STRATA_PERMILLE = {"en": 400, "de": 1000, "es": 1000, "fr": 1000, "zh": 700}
+DEFAULT_PERMILLE = 1000
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff
+    hex60(doc_id) mod 1000 < rate_permille(lang). Like q26's split,
+    selection depends only on the key hash — reproducible across runs,
+    partitioning, and engines (rand()/sampleBy are neither), which is
+    what makes a resampled corpus diffable. One narrow scan, no
+    shuffle; the rate table is a literal CASE, not a join."""
+    rates = rates or STRATA_PERMILLE
+    bucket = F.pmod(hex60(F.col("doc_id").cast("string")), F.lit(1000))
+    rate = F.lit(DEFAULT_PERMILLE)
+    for lang, pm in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return docs.withColumn("keep", bucket < rate)
+
+
+def _strata_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in sorted(STRATA_PERMILLE.items())
+    )
+    return f"CASE {whens} ELSE {DEFAULT_PERMILLE} END"
+
+
+@register(
+    "q29_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {hex60_sql("CAST(doc_id AS VARCHAR)")} % 1000
+                              < {_strata_rate_sql()}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents GROUP BY lang
+    """,
+)
+def q29_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        )
+    )
