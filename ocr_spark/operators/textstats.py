@@ -482,3 +482,51 @@ def q29_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
         )
     )
+
+
+# --- pandas UDAF surface ------------------------------------------------------
+
+
+def chars_sum_udaf():
+    """GROUPED_AGG pandas UDAF (Arrow-batched aggregate) — the UDAF
+    surface of the rubric. Integer sum, so the result is exact and
+    oracle-comparable regardless of partition order (a float UDAF could
+    not be). At scale a pandas UDAF aggregate has NO partial-agg
+    map-side combine (all group rows cross to Python) — built-in JVM
+    aggregates remain the hot-path choice; this entry exists to prove
+    the surface with exact semantics, like the reference's user-space
+    reductions prove its EDT contract."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _sum_chars(v):
+        return int(v.sum())
+
+    def _count_rows(v):
+        return int(len(v))
+
+    # the module's `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot resolve — attach real ones
+    ann = {"v": pd.Series, "return": int}
+    _sum_chars.__annotations__ = dict(ann)
+    _count_rows.__annotations__ = dict(ann)
+    return pandas_udf(_sum_chars, "long"), pandas_udf(_count_rows, "long")
+
+
+@register(
+    "x07_pandas_udaf",
+    oracle="""
+    SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def x07_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() — both outputs come from the pandas surface
+    sum_udaf, count_udaf = chars_sum_udaf()
+    return docs.groupBy("lang").agg(
+        sum_udaf(F.col("n_chars")).alias("total_chars"),
+        count_udaf(F.col("n_chars")).alias("n_docs"),
+    )

@@ -869,3 +869,37 @@ def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_views_1h", F.lit(0)).alias("n_views_1h"),
         )
     )
+
+
+@register(
+    "q30_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(c.c_custkey IS NOT NULL AS BOOLEAN) AS has_customer,
+           CAST(o.n_orders IS NOT NULL AS BOOLEAN) AS has_orders,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM customer c
+    FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                     FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q30_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reconciliation shape (rows on either side
+    only are both preserved). Aggregating the fact side BEFORE the join
+    keeps the outer join's input one row per key — at scale a full outer
+    of raw fact rows multiplies nulls; of pre-agged keys it is a 1:1
+    merge."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.col("n_orders").isNotNull().alias("has_orders"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
