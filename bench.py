@@ -43,6 +43,7 @@ HEADLINE = [
     "q26_hash_split",
     "q28_range_join",
     "q29_stratified_sample",
+    "q31_latest_per_key",
     "g01_pagerank",
     "d01_exact_dedup",
     "d03_minhash_lsh",

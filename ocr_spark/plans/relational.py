@@ -903,3 +903,33 @@ def q30_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").isNotNull().alias("has_orders"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+@register(
+    "q31_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q31_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key (CDC upsert compaction): one window pass, the
+    canonical way to materialize current state from an append log. At
+    scale this is a single shuffle on the key; AQE handles hot keys, and
+    on a sorted/bucketed table it degrades to a near-free mapSideCombine
+    shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            "event_type",
+        )
+    )

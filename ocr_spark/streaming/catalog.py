@@ -153,3 +153,17 @@ def s05_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages_df(spark, 200).write.mode("overwrite").parquet(staging)
     _finish(ingest.streaming_extract(spark, staging, name="s05_out"))
     return spark.table("s05_out").orderBy("url")
+
+
+@register(
+    "s06_stream_static_join",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment, count(*) AS n
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def s06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrich, gated against the batch join."""
+    _finish(ingest.stream_static_enrich(spark, sf_dir, name="s06_out"))
+    return spark.table("s06_out")

@@ -224,3 +224,25 @@ def streaming_extract(spark: SparkSession, pages_dir: str, name: str = "extract_
     return (
         out.writeStream.outputMode("append").format("memory").queryName(name).start()
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, name: str = "enrich_out"
+):
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — the dimension is
+    re-resolvable each batch, so a slowly-refreshed dim table works
+    unchanged), aggregated per (event_type, mktsegment)."""
+    events = read_events_stream(spark, sf_dir)
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
