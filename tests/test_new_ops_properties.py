@@ -1,0 +1,74 @@
+"""Invariant tests for the round-2 operators, beyond the DuckDB value
+oracle: structural properties that must hold for ANY input, checked on
+the driver testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import QUERIES, load_all
+
+load_all()
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    from ocr_spark.operators.chunking import CHUNK_STRIDE, CHUNK_TOKENS
+
+    rows = QUERIES["p01_chunking"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # contiguous indices, stride-spaced starts
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.start_tok == c.chunk_idx * CHUNK_STRIDE for c in chunks)
+        # every chunk bounded by window; all but the last one full-or-capped
+        assert all(1 <= c.n_chunk_tokens <= CHUNK_TOKENS for c in chunks)
+        # coverage: the last chunk reaches the end of the doc
+        last = chunks[-1]
+        n_tokens = last.start_tok + last.n_chunk_tokens
+        assert n_tokens > (len(chunks) - 1) * CHUNK_STRIDE
+
+
+def test_latest_per_key_is_argmax(spark, sf_dir):
+    out = {r.user_id: r for r in QUERIES["q31_latest_per_key"](spark, sf_dir).collect()}
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(F.col("ts").cast("timestamp")).alias("mx"))
+        .collect()
+    )
+    assert len(out) == len(ev)
+    for r in ev:
+        assert out[r.user_id].latest_ts == r.mx.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_incremental_dedup_pairs_cross_split(spark, sf_dir):
+    from ocr_spark.operators.dedup import JACCARD_THRESHOLD, SEEN_SPLIT
+
+    rows = QUERIES["d08_incremental_dedup"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < SEEN_SPLIT <= r.doc_b
+        assert r.jaccard >= JACCARD_THRESHOLD
+
+
+def test_pagerank_floor_and_determinism(spark, sf_dir):
+    from ocr_spark.operators.graph import PR_BASE
+
+    r1 = {r.node: r.rank for r in QUERIES["g01_pagerank"](spark, sf_dir).collect()}
+    r2 = {r.node: r.rank for r in QUERIES["g01_pagerank"](spark, sf_dir).collect()}
+    assert r1 == r2 and r1
+    assert all(rank >= PR_BASE for rank in r1.values())
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from ocr_spark.operators.textstats import STRATA_PERMILLE
+
+    rows = {r.lang: r for r in QUERIES["q29_stratified_sample"](spark, sf_dir).collect()}
+    for lang, r in rows.items():
+        assert 0 <= r.n_kept <= r.n_total
+        pm = STRATA_PERMILLE.get(lang, 1000)
+        if pm == 1000:
+            assert r.n_kept == r.n_total  # rate 1.0 keeps everything
