@@ -58,6 +58,7 @@ HEADLINE = [
     "t07_pii_redact",
     "t08_vocab_topk",
     "p01_chunking",
+    "p02_sequence_pack",
     "e01_knn_bruteforce",
     "e03_centroid_assign",
     "e04_ivf_knn",

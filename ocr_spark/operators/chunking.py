@@ -74,3 +74,101 @@ def chunk_documents(
 )
 def p01_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+# --- sequence packing ---------------------------------------------------------
+
+PACK_CAP = 64  # context budget in tokens (2 full chunks)
+PACK_GROUPS = 8
+
+
+def pack_chunks(chunks: DataFrame) -> DataFrame:
+    """Next-fit sequence packing of chunks into context windows — the
+    packing step between chunking and tokenization that keeps training
+    batches dense.
+
+    Global greedy packing is inherently sequential, so the distributed
+    shape salts chunks into ``PACK_GROUPS`` independent groups (hash of
+    doc_id) and packs each group in parallel with a deterministic
+    next-fit over (doc_id, chunk_idx) order — the waste bound vs global
+    next-fit is at most one partially-filled bin per group, and at
+    corpus scale groups ~ cores so the loss is negligible. The per-group
+    pass is an Arrow-batched applyInPandas (the sanctioned stateful
+    pattern, like the s04 latch); everything upstream/downstream stays
+    JVM. Integer token counts only, so the DuckDB recursive-CTE oracle
+    reproduces every bin assignment exactly."""
+    import pandas as pd
+
+    from ocr_spark.functions.text import hex60
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        bins = []
+        bin_idx, running = 0, 0
+        for i, n in enumerate(pdf["n_chunk_tokens"]):
+            n = int(n)
+            if i == 0:
+                running = n
+            elif running + n > PACK_CAP:
+                bin_idx += 1
+                running = n
+            else:
+                running += n
+            bins.append(bin_idx)
+        pdf = pdf.assign(bin_idx=bins)
+        return pdf[["doc_id", "chunk_idx", "pack_group", "bin_idx", "n_chunk_tokens"]]
+
+    withg = chunks.withColumn(
+        "pack_group",
+        F.pmod(hex60(F.col("doc_id").cast("string")), F.lit(PACK_GROUPS)).cast("int"),
+    )
+    return withg.groupBy("pack_group").applyInPandas(
+        pack,
+        "doc_id long, chunk_idx int, pack_group int, bin_idx int, n_chunk_tokens int",
+    )
+
+
+def _pack_oracle_sql() -> str:
+    from ocr_spark.functions.text import hex60_sql
+
+    grp = f"{hex60_sql('CAST(doc_id AS VARCHAR)')} % {PACK_GROUPS}"
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter({TOKENS_SQL.format(col='text')}, t -> t <> '') AS ts
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, ts,
+             unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start_tok,
+             unnest(range(0, CAST(ceil(len(ts) / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
+      FROM toks WHERE len(ts) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(ts[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT) AS n,
+             CAST({grp} AS INT) AS pack_group
+      FROM starts
+    ), g AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY pack_group
+                     ORDER BY doc_id, chunk_idx) AS INT) AS rn
+      FROM chunks
+    ), pack(pack_group, rn, bin_idx, running) AS (
+      SELECT pack_group, rn, 0, n FROM g WHERE rn = 1
+      UNION ALL
+      SELECT g.pack_group, g.rn,
+             CASE WHEN p.running + g.n > {PACK_CAP} THEN p.bin_idx + 1
+                  ELSE p.bin_idx END,
+             CASE WHEN p.running + g.n > {PACK_CAP} THEN g.n
+                  ELSE p.running + g.n END
+      FROM pack p JOIN g ON g.pack_group = p.pack_group AND g.rn = p.rn + 1
+    )
+    SELECT g.doc_id, g.chunk_idx, g.pack_group,
+           CAST(p.bin_idx AS INT) AS bin_idx, g.n AS n_chunk_tokens
+    FROM g JOIN pack p ON p.pack_group = g.pack_group AND p.rn = g.rn
+    """
+
+
+@register("p02_sequence_pack", oracle=_pack_oracle_sql())
+def p02_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+    return pack_chunks(chunks)

@@ -72,3 +72,19 @@ def test_stratified_sample_rates(spark, sf_dir):
         pm = STRATA_PERMILLE.get(lang, 1000)
         if pm == 1000:
             assert r.n_kept == r.n_total  # rate 1.0 keeps everything
+
+
+def test_sequence_pack_capacity(spark, sf_dir):
+    from ocr_spark.operators.chunking import PACK_CAP
+
+    rows = QUERIES["p02_sequence_pack"](spark, sf_dir).collect()
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.pack_group, r.bin_idx)
+        fills[key] = fills.get(key, 0) + r.n_chunk_tokens
+    assert fills
+    # no bin exceeds the budget; bins (except possibly each group's last)
+    # could not have absorbed the *smallest* chunk that overflowed into
+    # the next bin — next-fit never leaves a bin that the immediately
+    # following chunk would have fit into
+    assert all(v <= PACK_CAP for v in fills.values())
