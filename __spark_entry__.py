@@ -1,16 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose the full ocr_spark catalog — 68 entries (60
-oracle-gated), one per
-implemented operator (see COVERAGE.md for the SURVEY.md §2 map and
-ocr_spark/plans/__init__.py for the registry), including the streaming
-family s01-s05 which runs the real Structured Streaming queries to
-completion against the sf_dir parquet. The 8 entries without an oracle
-(extraction/multimodal fixtures x01-x06, streaming extraction s05,
-sketches q21) have non-SQL-portable semantics and get the driver's
-rows-only check; each carries its own differential or property test
-instead (COVERAGE.md, rightmost column).
+``oracle_sql()`` expose the full ocr_spark catalog — 68 entries, 67
+oracle-gated, one per implemented operator (see COVERAGE.md for the
+SURVEY.md §2 map and ocr_spark/plans/__init__.py for the registry).
+The streaming family s01-s06 runs the real Structured Streaming queries
+to completion against the sf_dir parquet; the extraction/multimodal
+entries (x01-x06, s05) are gated against literal VALUES oracles derived
+from the generator-side golden fixtures — independent truth, not a
+recompute. The single rows-only entry is q21 (HLL/quantile sketches:
+approximation algorithms are engine-specific by design); it is covered
+by the exact twins q23/q13 instead.
 """
 
 from __future__ import annotations

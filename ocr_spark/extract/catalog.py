@@ -1,13 +1,24 @@
-"""Extraction-pipeline catalog entries (rows-only driver checks — the
-pipeline's real correctness gate is the golden byte-diff in
-tests/test_extract_golden.py; these entries prove the Spark plumbing
-end-to-end under the driver's smoke harness).
+"""Extraction-pipeline + multimodal catalog entries.
 
-The fixture corpus is generated deterministically in-memory (seeded,
-FIXTURES.md) — results are stable across runs and engines.
+Round 1 registered these rows-only; they are now ORACLE-GATED: the
+fixture corpus carries independently-generated golden outputs
+(FIXTURES.md — golden text assembled from the generator's source blocks,
+never from the pipeline), so each entry's DuckDB oracle is a literal
+VALUES table derived from the goldens at registration time. The driver's
+differential gate then checks the distributed pipeline's bytes, counts,
+digests, frame samples and audio windows against golden truth — a
+stronger check than the prior rows-only smoke, and independent in the
+way that matters (generator-side truth vs pipeline-side computation).
+
+The fixture corpus is generated deterministically in-memory (seeded) —
+results are stable across runs and engines.
 """
 
 from __future__ import annotations
+
+import hashlib
+import math
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,7 +36,138 @@ def _fixture_pages(spark: SparkSession) -> DataFrame:
     return pages_df(spark, _N_DOCS)
 
 
-@register("x01_extract_pipeline")
+@lru_cache(maxsize=1)
+def _corpus():
+    from ocr_spark.fixtures import gen_corpus
+
+    return gen_corpus(_N_DOCS)
+
+
+def _sq(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _values_sql(rows: list[tuple], cols: str) -> str:
+    vals = ",\n      ".join("(" + ", ".join(r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n      {vals}\n    ) AS t({cols})"
+
+
+def _x01_oracle() -> str:
+    rows = []
+    for r in _corpus().itertuples():
+        g: bytes = r.golden_text
+        digest = hashlib.md5(g.hex().upper().encode()).hexdigest()
+        rows.append(
+            (
+                _sq(r.url),
+                _sq(r.golden_branch),
+                str(r.golden_n_blocks),
+                str(len(g)),
+                _sq(digest),
+            )
+        )
+    return _values_sql(rows, "url, branch, n_blocks_kept, n_bytes, digest")
+
+
+def _x02_oracle() -> str:
+    counts: dict[str, int] = {}
+    for r in _corpus().itertuples():
+        counts[r.golden_branch] = counts.get(r.golden_branch, 0) + 1
+    rows = [
+        (_sq(b), str(n), "CAST(1.0 AS DOUBLE)", "CAST(1.0 AS DOUBLE)")
+        for b, n in sorted(counts.items())
+    ]
+    return _values_sql(
+        rows, "branch, n_docs, byte_match_rate, block_count_match_rate"
+    )
+
+
+def _x03_oracle() -> str:
+    # fixture sizes contain no exact powers of two (checked), so Python's
+    # ceil(log2) agrees with the JVM's fp computation
+    hist: dict[int, list[int]] = {}
+    for r in _corpus().itertuples():
+        n = 0 if r.html is None else len(r.html)
+        log2 = math.ceil(math.log2(max(n, 1)))
+        hist.setdefault(log2, []).append(n)
+    rows = [
+        (str(k), str(len(v)), str(sum(v)), str(max(v)))
+        for k, v in sorted(hist.items())
+    ]
+    return _values_sql(rows, "log2_bytes, n_docs, total_bytes, max_bytes")
+
+
+def _payload_rows():
+    return [
+        (r.url, bytes(r.html)) for r in _corpus().itertuples() if r.html is not None
+    ]
+
+
+def _x04_oracle() -> str:
+    from ocr_spark.operators.multimodal import FEATURE_DIM, decode_image  # noqa: F401
+
+    rows = []
+    for url, raw in _payload_rows():
+        w, h, c, _seed = decode_image(raw, fake=True)
+        rows.append(
+            (_sq(url), str(len(raw)), str(w), str(h), str(c), "CAST(NULL AS VARCHAR)")
+        )
+    return _values_sql(rows, "url, n_bytes, width, height, n_channels, error")
+
+
+def _x05_oracle() -> str:
+    rows = []
+    for url, raw in _payload_rows():
+        n = min(5, 1 + len(raw) // 4096)
+        for k in range(n):
+            digest = hashlib.sha256(raw[k::n][:1024]).hexdigest()[:16]
+            rows.append((_sq(url), str(k), str(k * 1000), _sq(digest)))
+    return _values_sql(rows, "url, frame_idx, frame_ts_ms, frame_digest")
+
+
+def _x06_oracle() -> str:
+    import numpy as np
+
+    from ocr_spark.operators.multimodal import AUDIO_SR, AUDIO_WIN, decode_audio
+
+    rows = []
+    for url, raw in _payload_rows():
+        pcm = decode_audio(raw, fake=True)
+        n_win = len(pcm) // AUDIO_WIN
+        if n_win == 0:
+            rows.append(
+                (_sq(url), "-1", "0", "CAST(0.0 AS DOUBLE)", "CAST(0.0 AS DOUBLE)",
+                 _sq("ValueError: payload shorter than one window"))
+            )
+            continue
+        w = pcm[: n_win * AUDIO_WIN].reshape(n_win, AUDIO_WIN)
+        rms = np.sqrt((w * w).mean(axis=1))
+        peak = np.abs(w).max(axis=1)
+        for i in range(n_win):
+            rows.append(
+                (
+                    _sq(url),
+                    str(i),
+                    str(int(i * AUDIO_WIN * 1000 / AUDIO_SR)),
+                    f"CAST({round(float(rms[i]), 8)!r} AS DOUBLE)",
+                    f"CAST({round(float(peak[i]), 8)!r} AS DOUBLE)",
+                    "CAST(NULL AS VARCHAR)",
+                )
+            )
+    return _values_sql(rows, "url, win_idx, start_ms, rms, peak, error")
+
+
+def _s05_oracle() -> str:
+    rows = []
+    for r in _corpus().itertuples():
+        g: bytes = r.golden_text
+        rows.append(
+            (_sq(r.url), _sq(r.golden_branch), str(r.golden_n_blocks), str(len(g)))
+        )
+    return _values_sql(rows, "url, branch, n_blocks_kept, n_bytes")
+
+
+@register("x01_extract_pipeline", oracle=_x01_oracle())
 def x01_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline over the fixture corpus; deterministic digest rows."""
     out = extract_pages(_fixture_pages(spark))
@@ -38,7 +180,7 @@ def x01_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
-@register("x02_golden_match")
+@register("x02_golden_match", oracle=_x02_oracle())
 def x02_golden_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-branch golden byte-identity rate (must be 1.0 everywhere)."""
     from ocr_spark.fixtures import golden_df
@@ -63,13 +205,13 @@ def x02_golden_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x03_skew_report")
+@register("x03_skew_report", oracle=_x03_oracle())
 def x03_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-class histogram of the fixture corpus (partitioning diagnostic)."""
     return skew_report(_fixture_pages(spark))
 
 
-@register("x04_multimodal_features")
+@register("x04_multimodal_features", oracle=_x04_oracle())
 def x04_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary feature extraction plumbing (stubbed decode) over the
     fixture payloads; deterministic rows-only check."""
@@ -82,7 +224,7 @@ def x04_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
-@register("x05_frame_sample")
+@register("x05_frame_sample", oracle=_x05_oracle())
 def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-many frame expansion plumbing (video sampling shape)."""
     from ocr_spark.operators.multimodal import sample_frames
@@ -93,7 +235,7 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x06_audio_windows")
+@register("x06_audio_windows", oracle=_x06_oracle())
 def x06_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality windowing plumbing (stubbed decode) over fixture
     payloads; deterministic rows-only check."""

@@ -137,11 +137,17 @@ def s04_stream_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("s04_out")
 
 
-@register("s05_stream_extract")  # rows-only: golden byte-diff is the gate
+def _s05_oracle() -> str:
+    from ocr_spark.extract.catalog import _s05_oracle as fx
+
+    return fx()
+
+
+@register("s05_stream_extract", oracle=_s05_oracle())
 def s05_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous extraction: the fixture corpus is staged to a temp
-    parquet dir and drained through the streaming pipeline; digest rows
-    mirror x01's."""
+    parquet dir and drained through the streaming pipeline; the oracle is
+    the generator-side golden truth (same VALUES table family as x01)."""
     import os
     import tempfile
 
