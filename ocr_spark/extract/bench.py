@@ -41,7 +41,7 @@ def extraction_throughput(spark, n_docs: int | None = None) -> float:
     pages = spark.read.parquet(staging).repartition(par * 2).persist()
     pages.count()
     best = 0.0
-    for _ in range(2):  # best-of-2: shared-host noise perturbs single shots
+    for _ in range(3):  # best-of-3: shared-host noise perturbs single shots ±30%
         t0 = time.perf_counter()
         n = extract_pages(pages).count()
         dt = time.perf_counter() - t0
