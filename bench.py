@@ -44,6 +44,7 @@ HEADLINE = [
     "q28_range_join",
     "q29_stratified_sample",
     "q31_latest_per_key",
+    "q32_rank_family",
     "g01_pagerank",
     "d01_exact_dedup",
     "d03_minhash_lsh",
@@ -57,6 +58,7 @@ HEADLINE = [
     "t04_fingerprint",
     "t07_pii_redact",
     "t08_vocab_topk",
+    "t09_url_stats",
     "p01_chunking",
     "p02_sequence_pack",
     "e01_knn_bruteforce",

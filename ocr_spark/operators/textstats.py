@@ -530,3 +530,60 @@ def x07_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_udaf(F.col("n_chars")).alias("total_chars"),
         count_udaf(F.col("n_chars")).alias("n_docs"),
     )
+
+
+# --- URL canonicalization -----------------------------------------------------
+
+
+def url_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host extraction + per-host page stats — the URL-keyed side of
+    crawl curation (host budgets, per-site dedup). Pure regexp column
+    expressions (the pattern is in the Java∩RE2 dialect so the oracle
+    replicates it literally); one map-side-combined aggregate."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1)
+    return (
+        pages.select(host.alias("host"), path.alias("path"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("path").alias("n_paths"),
+            F.max(F.length("path")).alias("max_path_len"),
+        )
+    )
+
+
+@register(
+    "t09_url_stats",
+    oracle="""
+    WITH urls AS (
+      SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) || '/v' || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents
+    ), u AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+      FROM urls
+    )
+    SELECT host, count(*) AS n_pages,
+           count(DISTINCT path) AS n_paths,
+           CAST(max(length(path)) AS INT) AS max_path_len
+    FROM u GROUP BY host
+    """,
+)
+def t09_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs over deterministic synthetic urls derived from doc_id (the
+    documents table has no url column; both engines derive the same
+    urls)."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/v"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        ).alias("url")
+    )
+    return url_stats(urls)

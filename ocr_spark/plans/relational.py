@@ -933,3 +933,36 @@ def q31_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@register(
+    "q32_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 9) AS pr,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                          o_orderkey ASC)
+    """,
+)
+def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family (ntile / percent_rank / rank / dense_rank)
+    with integer-cents ordering so rank boundaries are bit-identical
+    across engines; percent_rank's (rank-1)/(n-1) division is the same
+    IEEE expression on identical integer ranks."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.expr("cast(round(o_totalprice * 100) as long)").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )

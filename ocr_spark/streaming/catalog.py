@@ -173,3 +173,26 @@ def s06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrich, gated against the batch join."""
     _finish(ingest.stream_static_enrich(spark, sf_dir, name="s06_out"))
     return spark.table("s06_out")
+
+
+@register(
+    "s07_stream_sliding",
+    oracle="""
+    WITH contrib AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start_ts
+      FROM events
+    )
+    SELECT strftime(window_start_ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+    FROM contrib GROUP BY 1, 2
+    """,
+)
+def s07_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h every 30min): each event contributes to the two
+    windows starting at its 30-minute bucket and the one before — the
+    batch twin enumerates exactly those starts."""
+    _finish(ingest.sliding_counts(spark, sf_dir, name="s07_out"))
+    return spark.table("s07_out")

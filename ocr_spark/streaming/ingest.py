@@ -246,3 +246,22 @@ def stream_static_enrich(
     return (
         agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str, name: str = "sliding_out"):
+    """Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    event lands in two windows; watermark bounds state like tumbling."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
