@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose the full ocr_spark catalog — 71 entries, 70
+``oracle_sql()`` expose the full ocr_spark catalog — 73 entries, 72
 oracle-gated, one per implemented operator (see COVERAGE.md for the
 SURVEY.md §2 map and ocr_spark/plans/__init__.py for the registry).
 The streaming family s01-s06 runs the real Structured Streaming queries

@@ -751,3 +751,86 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(docs).select("doc_a", "doc_b")
     return dup_clusters(docs, pairs)
+
+
+# --- canonical selection (the applied dedup verdict) --------------------------
+
+
+def canonical_selection(docs: DataFrame, clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, quality_score, is_canonical): within each
+    near-dup cluster keep the highest-quality document (ties: smallest
+    doc_id) — the final keep/drop decision a curation pipeline applies
+    after d06 clustering + t02 scoring. One broadcast-size join per doc
+    plus a per-cluster argmax window; the cluster table is the small
+    side at any scale (clusters ≈ docs only in the no-dup limit).
+    Ordering uses the 6-decimal-rounded score both engines already
+    agree on bit-for-bit (t02), so the argmax is cross-engine exact."""
+    from pyspark.sql import Window as W
+
+    j = docs.select("doc_id").join(clusters, "doc_id").join(
+        quality.select("doc_id", "quality_score"), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+def _canonical_oracle_sql() -> str:
+    from ocr_spark.operators.textstats import _STOP_SQL, _TOKS  # noqa: F401
+
+    quality_cte = f"""
+    qual AS (
+      SELECT doc_id,
+             round((CASE WHEN (length(text) >= 100 AND length(text) <= 20000)
+                         THEN 0.4 ELSE 0.0 END)
+                   + least((CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(toks)
+                            ELSE 0.0 END) * 4, 0.3)
+                   + least(CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                           ELSE 0.0 END, 0.3), 6) AS quality_score
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )"""
+    return f"""
+    WITH RECURSIVE pairs AS ( {_lsh_oracle_sql()} ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+      FROM documents d
+      LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+        ON m.src = d.doc_id
+    ),
+    {quality_cte}
+    SELECT c.doc_id, c.cluster_id, q.quality_score,
+           (row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.quality_score DESC, c.doc_id ASC) = 1)
+             AS is_canonical
+    FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+    """
+
+
+@register("d09_canonical_selection", oracle=_canonical_oracle_sql())
+def d09_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs).select("doc_a", "doc_b")
+    clusters = dup_clusters(docs, pairs)
+    quality = quality_score(docs)
+    return canonical_selection(docs, clusters, quality)

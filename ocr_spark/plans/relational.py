@@ -966,3 +966,38 @@ def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     )
+
+
+@register(
+    "q33_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS tag, count(*) AS n FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS tag, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def q33_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    duplicate multiplicities (q11 covers the DISTINCT variants); Spark
+    plans both as a count-differencing aggregate, one shuffle each."""
+    o = load_table(spark, sf_dir, "orders")
+    all_keys = o.select("o_custkey")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+
+    def tagged(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("tag"), "n"
+        )
+
+    return tagged("except_all", all_keys.exceptAll(f_keys)).unionByName(
+        tagged("intersect_all", o_keys.intersectAll(f_keys))
+    )
