@@ -39,6 +39,13 @@ MATRIX_QUERIES = [
     "t01_token_stats",
     "s04_stream_milestones",
     "x01_extract_pipeline",
+    # round-2 additions whose shapes could plausibly be
+    # parallelism-sensitive: salted pack groups, iterative integer
+    # propagation, stream-static broadcast, golden-audio windowing
+    "p02_sequence_pack",
+    "g01_pagerank",
+    "s06_stream_static_join",
+    "x06_audio_windows",
 ]
 
 
