@@ -544,9 +544,106 @@ def embedding_neardup_pairs(
     )
 
 
-@register(
-    "d05_embedding_neardup",
-    oracle=f"""
+# Sign-LSH candidate generation for the registered (scale) path: a pair
+# is a candidate iff it shares a bucket in >=1 of NEARDUP_LSH_TABLES
+# independent NEARDUP_LSH_PLANES-bit sign-plane tables (same OR-of-ANDs
+# amplification as e02).  Seeds are offset so the plane sets are
+# independent of e02's ANN tables.
+NEARDUP_LSH_TABLES = 8
+NEARDUP_LSH_PLANES = 4
+NEARDUP_LSH_SEED0 = 100
+
+
+def neardup_candidates_lsh(
+    emb: DataFrame,
+    dim: int,
+    tables: int = NEARDUP_LSH_TABLES,
+    planes: int = NEARDUP_LSH_PLANES,
+    seed0: int = NEARDUP_LSH_SEED0,
+) -> DataFrame:
+    """(a_id, b_id) pairs sharing >=1 sign-LSH bucket — the sub-quadratic
+    candidate generator for embedding near-dup.
+
+    Cost model at 100 TB: bucket keys are computed narrow (no shuffle);
+    the only exchange is the self-join on (tbl, bucket).  With ``planes``
+    grown ~log2(n/bucket_budget), expected bucket size is bounded, so
+    the join output is O(n · bucket_size), never O(n²).  Hot buckets
+    (dense embedding clusters) are the skew surface: AQE skew-join
+    splitting handles the join side, and a per-bucket size cap (sample
+    or salt-split oversized buckets) is the escape hatch at extreme
+    clustering.  Recall is tuned by (tables, planes); the exact-recall
+    twin is d10_neardup_exact."""
+    from ocr_spark.operators.similarity import lsh_bucket_key
+
+    karr = F.array(
+        *[
+            lsh_bucket_key(F.col("embedding"), dim, planes, seed=seed0 + t)
+            for t in range(tables)
+        ]
+    )
+    keyed = emb.select("vec_id", F.posexplode(karr).alias("tbl", "bucket"))
+    a = keyed.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
+    b = keyed.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def _neardup_lsh_oracle_sql(
+    dim: int,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    tables: int = NEARDUP_LSH_TABLES,
+    planes: int = NEARDUP_LSH_PLANES,
+    seed0: int = NEARDUP_LSH_SEED0,
+) -> str:
+    """DuckDB twin of the LSH-candidates → exact-cosine-verify path: the
+    ±1 sign planes are literal VALUES rows; the projection folds
+    left-to-right via list_reduce exactly like the JVM sequential fold,
+    so bucket keys — and therefore the candidate set — are
+    bit-identical (the e02 technique)."""
+    from ocr_spark.operators.similarity import _plane_signs
+
+    rows = []
+    for t in range(tables):
+        for p, signs in enumerate(_plane_signs(dim, planes, seed=seed0 + t)):
+            lit = ", ".join(str(s) for s in signs)
+            rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(tbl, p, s) AS (VALUES
+      {values}
+    ),
+    keys AS (
+      SELECT e.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_reduce(
+                 list_transform(range(1, {dim + 1}),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * pl.s[i]),
+                 (a, b) -> a + b) > 0
+               THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                                        CAST(be.embedding AS DOUBLE[])), 6) AS cos
+    FROM cand c
+    JOIN embeddings ae ON ae.vec_id = c.a_id
+    JOIN embeddings be ON be.vec_id = c.b_id
+    WHERE round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                                       CAST(be.embedding AS DOUBLE[])), 6)
+          >= {threshold}
+    """
+
+
+_NEARDUP_EXACT_ORACLE = f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos
@@ -554,9 +651,31 @@ def embedding_neardup_pairs(
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6)
           >= {COSINE_NEARDUP_THRESHOLD}
-    """,
-)
+    """
+
+
+def _embedding_dim() -> int:
+    from ocr_spark.operators.similarity import EMBEDDING_DIM
+
+    return EMBEDDING_DIM
+
+
+@register("d05_embedding_neardup", oracle=_neardup_lsh_oracle_sql(dim=_embedding_dim()))
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (scale) path: sign-LSH bucket candidates → exact cosine
+    verify.  Sub-quadratic — no all-pairs stage anywhere in the plan
+    (asserted by tests/test_plan_quality.py).  The exact-recall twin
+    with an identical output contract is d10_neardup_exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = neardup_candidates_lsh(emb, _embedding_dim())
+    return embedding_neardup_pairs(emb, candidates=cands)
+
+
+@register("d10_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)
+def d10_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall verifier twin of d05: distributed blocked all-pairs
+    matmul candidates (O(n²) comparisons, sharded into B(B+1)/2 tasks —
+    the oracle-exact baseline, NOT the 100 TB default; see d05)."""
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 

@@ -82,3 +82,23 @@ def test_kmeans_deterministic(spark, sf_dir):
     r1 = {(r.vec_id, r.cell) for r in QUERIES["e05_kmeans"](spark, sf_dir).collect()}
     r2 = {(r.vec_id, r.cell) for r in QUERIES["e05_kmeans"](spark, sf_dir).collect()}
     assert r1 == r2 and len(r1) > 0
+
+
+def test_d05_lsh_recall_floor(spark, sf_dir):
+    """d05's registered sub-quadratic path (sign-LSH candidates → exact
+    verify) must recover most of the exact near-dup pairs d10 finds, and
+    every pair it returns must be a true pair (verify step is exact)."""
+    exact = {
+        (r.a_id, r.b_id): r.cos
+        for r in QUERIES["d10_neardup_exact"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.cos
+        for r in QUERIES["d05_embedding_neardup"](spark, sf_dir).collect()
+    }
+    assert exact, "fixture embeddings produced no exact near-dup pairs"
+    # precision is exact by construction: cosine is recomputed on candidates
+    for pair, cos in lsh.items():
+        assert pair in exact and abs(cos - exact[pair]) < 1e-9
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"d05 LSH recall {recall:.2f} below floor"
