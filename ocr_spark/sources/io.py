@@ -124,8 +124,19 @@ def write_extracted(
     if table and _iceberg_available(df.sparkSession):
         writer = df.writeTo(table)
         if mode == "overwrite":
+            if partition_by:
+                # honour the caller's partitioning when (re)creating the
+                # table — previously createOrReplace() silently produced
+                # an unpartitioned table; identity string columns are
+                # wrapped, transform expressions (F.days(...)) pass through
+                from pyspark.sql import functions as F
+
+                cols = [F.col(c) if isinstance(c, str) else c for c in partition_by]
+                writer = writer.partitionedBy(cols[0], *cols[1:])
             writer.createOrReplace()
         else:
+            # append inherits the existing table's spec; partitioning of
+            # a pre-existing table cannot be changed here by design
             writer.append()
         return
     w = df.write.mode(mode)

@@ -151,12 +151,16 @@ def s05_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from ocr_spark.extract.catalog import _N_DOCS
     from ocr_spark.fixtures import pages_df
 
-    staging = os.path.join(tempfile.gettempdir(), "ocr_spark_s05_pages")
+    # staging dir is keyed by the fixture doc count so an _N_DOCS change
+    # (or a concurrent run at a different size) can never serve stale
+    # pages whose oracle no longer matches
+    staging = os.path.join(tempfile.gettempdir(), f"ocr_spark_s05_pages_{_N_DOCS}")
     marker = os.path.join(staging, "_SUCCESS")
     if not os.path.exists(marker):
-        pages_df(spark, 200).write.mode("overwrite").parquet(staging)
+        pages_df(spark, _N_DOCS).write.mode("overwrite").parquet(staging)
     _finish(ingest.streaming_extract(spark, staging, name="s05_out"))
     return spark.table("s05_out").orderBy("url")
 

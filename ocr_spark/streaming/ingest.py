@@ -26,14 +26,18 @@ EVENTS_DDL = (
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str):
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+):
     # the file source requires a directory: stream the sf dir, glob-
     # filtered to the events file(s)
-    return (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir if sf_dir.endswith("/") else sf_dir + "/")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    reader = spark.readStream.schema(EVENTS_DDL).option(
+        "pathGlobFilter", "events*.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir if sf_dir.endswith("/") else sf_dir + "/").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
 
 
@@ -95,7 +99,12 @@ def dedup_on_arrival(spark: SparkSession, sf_dir: str, name: str = "dedup_out"):
 MILESTONE_CENTS = 50_000  # emit every 500.00 of accumulated value
 
 
-def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_out"):
+def value_milestones(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "milestones_out",
+    max_files_per_trigger: int | None = None,
+):
     """Custom stateful operator via applyInPandasWithState — the
     FINISH_LATCH analogue (reference latch counters: `/root/reference/
     src/event/hc/hc-event.c:223-259`): per-user accumulated `value`, one
@@ -105,13 +114,25 @@ def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_o
     points from running state). Value is accumulated in integer cents so
     the streaming loop and the batch twin (`value_milestones_batch`)
     agree exactly — no float-order drift at milestone boundaries.
-    State per key: (cum_cents, emitted) — O(1), unbounded-stream safe.
-    """
+    State per key: (cum_cents, emitted, last (ts, event_id)) — O(1),
+    unbounded-stream safe.
+
+    Ordering contract: running-total milestones are only well-defined
+    over an event-time-ordered stream, so each group's events must
+    arrive in event-time order ACROSS micro-batches (within a batch the
+    operator sorts the whole group itself). That holds for the staged
+    corpus (single trigger) and for time-partitioned ingestion where a
+    batch's files cover a later time range than every previous batch —
+    the deployment shape for crawl pipelines. Cross-batch regressions
+    are detected via the (ts, event_id) high-water mark in state and
+    raise loudly instead of silently accumulating in arrival order
+    (tests/test_streaming.py exercises both the ordered multi-batch run
+    and the detection path)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(spark, sf_dir, max_files_per_trigger)
 
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -125,7 +146,9 @@ def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_o
 
     def fn(key, pdfs, state):
         (user_id,) = key
-        cum, emitted = state.get if state.exists else (0, 0)
+        cum, emitted, last_ts, last_eid = (
+            state.get if state.exists else (0, 0, -(1 << 62), -(1 << 62))
+        )
         out_users, out_ms, out_cents = [], [], []
         # buffer ALL Arrow chunks of the group, then sort once: sorting
         # each chunk independently makes cum_cents at a milestone
@@ -133,7 +156,18 @@ def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_o
         whole = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for v in whole["value"]:
+        for ts, eid, v in zip(whole["ts"], whole["event_id"], whole["value"]):
+            ts_ms = int(ts.value // 1_000_000)
+            if (ts_ms, int(eid)) < (last_ts, last_eid):
+                # cross-batch event-time regression: accumulating in
+                # arrival order would silently diverge from the batch
+                # truth — fail loudly (see ordering contract above)
+                raise ValueError(
+                    f"value_milestones: out-of-order arrival for user {user_id}: "
+                    f"event {eid} at {ts} behind high-water mark "
+                    f"({last_ts} ms, event {last_eid})"
+                )
+            last_ts, last_eid = ts_ms, int(eid)
             if pd.isna(v):
                 continue
             cum += spark_round_cents(v)
@@ -142,7 +176,7 @@ def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_o
                 out_users.append(user_id)
                 out_ms.append(emitted)
                 out_cents.append(cum)
-        state.update((cum, emitted))
+        state.update((cum, emitted, last_ts, last_eid))
         if out_users:
             yield pd.DataFrame(
                 {"user_id": out_users, "milestone": out_ms, "cum_cents": out_cents}
@@ -153,7 +187,7 @@ def value_milestones(spark: SparkSession, sf_dir: str, name: str = "milestones_o
         .applyInPandasWithState(
             fn,
             outputStructType="user_id long, milestone int, cum_cents long",
-            stateStructType="cum long, emitted int",
+            stateStructType="cum long, emitted int, last_ts long, last_eid long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -46,11 +46,16 @@ def test_latest_per_key_is_argmax(spark, sf_dir):
 
 
 def test_incremental_dedup_pairs_cross_split(spark, sf_dir):
-    from ocr_spark.operators.dedup import JACCARD_THRESHOLD, SEEN_SPLIT
+    from ocr_spark.operators.dedup import JACCARD_THRESHOLD
 
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    # the derived midpoint split leaves both sides non-empty at any SF
+    assert docs.filter(F.col("doc_id") < split).count() > 0
+    assert docs.filter(F.col("doc_id") >= split).count() > 0
     rows = QUERIES["d08_incremental_dedup"](spark, sf_dir).collect()
     for r in rows:
-        assert r.doc_a < SEEN_SPLIT <= r.doc_b
+        assert r.doc_a < split <= r.doc_b
         assert r.jaccard >= JACCARD_THRESHOLD
 
 

@@ -106,3 +106,85 @@ def test_streaming_extract_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def _stage_event_files(spark, sf_dir, tmpdir, splits, shuffle_ranges=False):
+    """Stage the events table as multiple single-file writes, one per
+    event-time range, with increasing mtimes so the file source's
+    oldest-first ordering drains them as separate micro-batches in the
+    given range order."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("tsx", F.col("ts").cast("timestamp"))
+    )
+    bounds = ev.selectExpr(
+        *[f"percentile(cast(tsx AS DOUBLE), {p}) AS p{i}" for i, p in enumerate(splits)]
+    ).collect()[0]
+    cuts = [None] + [bounds[i] for i in range(len(splits))] + [None]
+    ranges = list(range(len(cuts) - 1))
+    if shuffle_ranges:
+        ranges = ranges[::-1]  # later time ranges arrive FIRST
+    for seq, i in enumerate(ranges):
+        part = ev
+        if cuts[i] is not None:
+            part = part.filter(F.col("tsx").cast("double") > cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("tsx").cast("double") <= cuts[i + 1])
+        tmp = os.path.join(tmpdir, f"_stage{seq}")
+        part.drop("tsx").coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(tmpdir, f"events_{seq:03d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + seq * 60, 1_700_000_000 + seq * 60))
+        _time.sleep(0.05)
+
+
+def test_value_milestones_multibatch_ordered(spark, sf_dir, tmp_path_factory):
+    """Event-time-partitioned arrival (the crawl-ingest deployment
+    shape), one file per trigger => three micro-batches; the stateful
+    accumulation must still equal the batch window-cumsum twin."""
+    from ocr_spark.streaming.ingest import value_milestones, value_milestones_batch
+
+    d = str(tmp_path_factory.mktemp("ms_ordered"))
+    _stage_event_files(spark, sf_dir, d, splits=[0.33, 0.66])
+    q = value_milestones(spark, d, name="ms_mb", max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+        got = {
+            (r.user_id, r.milestone, r.cum_cents)
+            for r in spark.table("ms_mb").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.milestone, r.cum_cents)
+        for r in value_milestones_batch(spark, sf_dir).collect()
+    }
+    assert want and got == want
+
+
+def test_value_milestones_disordered_arrival_raises(spark, sf_dir, tmp_path_factory):
+    """If a later micro-batch delivers events BEHIND a group's event-time
+    high-water mark, the operator must fail loudly, not accumulate in
+    arrival order (silent divergence from the batch truth)."""
+    import pytest
+
+    from ocr_spark.streaming.ingest import value_milestones
+
+    d = str(tmp_path_factory.mktemp("ms_disordered"))
+    _stage_event_files(spark, sf_dir, d, splits=[0.5], shuffle_ranges=True)
+    q = value_milestones(spark, d, name="ms_dis", max_files_per_trigger=1)
+    try:
+        with pytest.raises(Exception, match="out-of-order arrival"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
