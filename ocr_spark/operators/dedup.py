@@ -693,22 +693,42 @@ def d10_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUPGRAM_MIN_DOCS = 2
 BOILERPLATE_FRACTION = 0.5
+# Grams in at least this many docs are heavy hitters: their freq rows
+# are broadcast so the back-join never shuffles the hot keys.  The hot
+# set is self-bounding — |hot| <= total_gram_occurrences / hot_min — so
+# pick hot_min from the executor memory budget (at 10^12 docs × ~10^3
+# grams each, hot_min = 10^8 bounds the broadcast to ~10^7 rows; real
+# corpora are far below the bound because gram frequency is Zipfian).
+DUPGRAM_HOT_MIN_DOCS = 4096
 
 
-def dupgram_stats(docs: DataFrame, min_docs: int = DUPGRAM_MIN_DOCS) -> DataFrame:
+def dupgram_stats(
+    docs: DataFrame,
+    min_docs: int = DUPGRAM_MIN_DOCS,
+    hot_min: int = DUPGRAM_HOT_MIN_DOCS,
+) -> DataFrame:
     """Per-doc duplicated-ngram statistics — the corpus-level repetition
     filter of CCNet-style pipelines (drop/flag documents dominated by
     text shared with other documents, e.g. boilerplate headers, mirrored
     articles).
 
     Shape: distinct 3-gram explode (narrow) → global gram frequency
-    (shuffle #1, map-side combined) → join back + per-doc aggregate
-    (shuffle #2). At 100 TB the frequency table is the classic hot-key
-    surface: ubiquitous grams ("click here to") dominate a handful of
-    reducers — AQE skew splitting handles the join side, and the groupBy
-    is pre-combined per mapper so the exchange carries one row per
-    distinct gram per partition. At extreme scale swap the exact count
-    for a count-min sketch broadcast; the exact form is the oracle-able
+    (shuffle #1, map-side combined: one row per distinct gram per mapper
+    crosses the wire) → heavy-hitter split back-join → per-doc aggregate
+    (last shuffle).
+
+    The back-join is the classic hot-key surface at 100 TB: a gram like
+    "click here to" can appear in half the corpus, and a plain shuffle
+    join serializes all its occurrences through one reducer. AQE's skew
+    split does NOT cover this join (both sides derive from the same gram
+    stream, so the shuffle is shared/reused and the rule cannot split it
+    — verified empirically in tests/test_skew_adversarial.py history);
+    the mitigation is deterministic heavy-hitter splitting: freq rows
+    with n_docs >= hot_min are BROADCAST (g_hot join is map-side, hot
+    keys never shuffle), while the tail join's per-key multiplicity is
+    < hot_min by construction, so no reducer can receive more than
+    hot_min rows of any key. At extreme scale swap the exact hot table
+    for a count-min-sketch broadcast; the exact form is the oracle-able
     baseline.
 
     dup_fraction is emitted as the raw long/long division (identical
@@ -718,16 +738,15 @@ def dupgram_stats(docs: DataFrame, min_docs: int = DUPGRAM_MIN_DOCS) -> DataFram
         "doc_id", F.explode(F.array_distinct(shingles3(F.col("ts")))).alias("sh")
     )
     freq = g.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = freq.filter(F.col("n_docs") >= hot_min)
+    tail = freq.filter(F.col("n_docs") < hot_min)
+    marked = g.join(F.broadcast(hot), "sh").unionByName(g.join(tail, "sh"))
     frac = F.count(F.when(F.col("n_docs") >= min_docs, 1)) / F.count(F.lit(1))
-    return (
-        g.join(freq, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_dup_grams"),
-            frac.alias("dup_fraction"),
-            (frac >= BOILERPLATE_FRACTION).alias("boilerplate"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_dup_grams"),
+        frac.alias("dup_fraction"),
+        (frac >= BOILERPLATE_FRACTION).alias("boilerplate"),
     )
 
 

@@ -60,3 +60,44 @@ def test_iceberg_round_trip():
     assert proc.returncode == 0 and "ICEBERG_OK" in proc.stdout, (
         proc.stdout[-2000:] + proc.stderr[-2000:]
     )
+
+
+def test_write_extracted_iceberg_branch_partitions(spark, monkeypatch):
+    """Jar-free gate for the Iceberg write branch: when the catalog conf
+    is wired and partition_by is given, writeTo().partitionedBy(...) must
+    be applied before createOrReplace() (regression: the branch used to
+    silently create an unpartitioned table), and append() must NOT try
+    to re-partition an existing table."""
+    from ocr_spark.fixtures import pages_df
+    from ocr_spark.sources.io import write_extracted
+
+    calls = []
+
+    class FakeWriter:
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", [str(c) for c in cols]))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", None))
+
+        def append(self):
+            calls.append(("append", None))
+
+    df = pages_df(spark, 3)
+    # patch the concrete DataFrame class (pyspark 4 routes the public
+    # pyspark.sql.DataFrame to a classic/connect subclass)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, table: FakeWriter())
+    monkeypatch.setattr(
+        "ocr_spark.sources.io._iceberg_available", lambda spark: True
+    )
+
+    write_extracted(df, "/unused", mode="overwrite",
+                    partition_by=["lang"], table="ocr.db.pages")
+    assert calls[0][0] == "partitionedBy" and "lang" in calls[0][1][0]
+    assert calls[1][0] == "createOrReplace"
+
+    calls.clear()
+    write_extracted(df, "/unused", mode="append",
+                    partition_by=["lang"], table="ocr.db.pages")
+    assert calls == [("append", None)]

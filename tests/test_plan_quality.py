@@ -70,11 +70,13 @@ def test_no_rowwise_python_in_catalog(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
-def test_d05_plan_is_distributed(spark, sf_dir):
-    """Regression: round-1 d05 collect()-ed the whole embeddings table to
-    the driver at plan-construction time (the one flagged scale-killer).
-    Building the plan must launch no job, and the candidate matmul must
-    appear as a distributed FlatMapGroupsInPandas stage."""
+def test_d05_plan_is_distributed_and_subquadratic(spark, sf_dir):
+    """Regression ladder: round-1 d05 collect()-ed the whole embeddings
+    table to the driver; round-2 registered an exact all-pairs matmul
+    (O(n²) comparisons). The round-3 registered path must build its plan
+    without launching a job AND contain no all-pairs stage of any kind —
+    candidates come from the sign-LSH bucket self-join, exact cosine runs
+    only on candidates, entirely JVM-side."""
     from pyspark.sql import DataFrame
 
     orig = DataFrame.collect
@@ -86,7 +88,21 @@ def test_d05_plan_is_distributed(spark, sf_dir):
         DataFrame.collect = orig
     assert calls == [], "d05 plan construction ran a driver-side collect()"
     plan = _plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # no blocked-replication matmul (that is d10's job), no Python at all
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the candidate generator joins on the (tbl, bucket) LSH key
+    assert "bucket" in plan
+
+
+def test_d10_exact_verifier_is_distributed(spark, sf_dir):
+    """The exact twin keeps the distributed blocked matmul: a
+    FlatMapGroupsInPandas stage over block pairs, never a driver
+    collect or a cartesian join."""
+    plan = _plan(QUERIES["d10_neardup_exact"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan
 
 

