@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ocr_spark.plans import QUERIES, load_all
 from ocr_spark.session import build_session, default_parallelism
 
+# Every operator family is represented (VERDICT r02 item 8: no family
+# unbenched).  The cross-round comparable total sums the q/d/t/e
+# prefixes only (same rule since round 1); s/x/p/g/w timings are
+# reported alongside but kept out of the total so it stays comparable.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filter_project",
@@ -62,8 +66,29 @@ HEADLINE = [
     "p01_chunking",
     "p02_sequence_pack",
     "e01_knn_bruteforce",
+    "e02_ann_lsh",
     "e03_centroid_assign",
     "e04_ivf_knn",
+    "e05_kmeans",
+    "d02_ngram_jaccard",
+    "d06_dup_clusters",
+    "d09_canonical_selection",
+    "d10_neardup_exact",
+    "t01_token_stats",
+    "t03_lang_guess",
+    "t10_bm25",
+    "w01_wavefront_editdist",
+    "x08_warc_parse",
+    "x04_multimodal_features",
+    "x05_frame_sample",
+    "x06_audio_windows",
+    "s01_stream_tumbling",
+    "s02_stream_sessions",
+    "s03_stream_dedup",
+    "s04_stream_milestones",
+    "s05_stream_extract",
+    "s06_stream_static_join",
+    "s07_stream_sliding",
 ]
 
 

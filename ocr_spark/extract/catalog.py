@@ -245,3 +245,30 @@ def x06_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(pages.select("url", F.col("html").alias("payload"))).orderBy(
         "url", "win_idx"
     )
+
+
+def _x08_oracle() -> str:
+    from ocr_spark.fixtures import warc_golden
+
+    # every generated record is WARC-Type: response (the embedded fake
+    # type lives inside a payload and must never be parsed)
+    rows = [
+        (str(seg), str(idx), _sq(url), _sq("response"), str(clen), _sq(md5))
+        for seg, idx, url, clen, md5 in warc_golden(_N_DOCS)
+    ]
+    return _values_sql(
+        rows, "seg_id, rec_idx, url, warc_type, content_length, payload_md5"
+    )
+
+
+@register("x08_warc_parse", oracle=_x08_oracle())
+def x08_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container -> records: Content-Length-driven walk over opaque
+    binary segments (ocr_spark/sources/warc.py). The fixture plants an
+    adversarial record whose payload embeds the WARC magic; the golden
+    VALUES truth is derived from the raw record bytes on the generator
+    side, independent of the parser under test."""
+    from ocr_spark.fixtures import warc_df
+    from ocr_spark.sources.warc import parse_warc
+
+    return parse_warc(warc_df(spark, _N_DOCS)).orderBy("seg_id", "rec_idx")

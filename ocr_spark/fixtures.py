@@ -219,3 +219,92 @@ def golden_df(spark, n_rows: int):
         pdf,
         schema="url string, golden_text binary, golden_n_blocks int, golden_branch string",
     )
+
+
+# --- WARC container fixtures --------------------------------------------------
+
+WARC_GROUP = 4
+
+
+def warc_corpus(n_rows: int, group: int = WARC_GROUP) -> "pd.DataFrame":
+    """Deterministic WARC segments built from the page corpus: records
+    grouped ``group`` per segment in doc order. Segment 0 additionally
+    carries an ADVERSARIAL record whose payload embeds the record
+    delimiter and magic bytes (b"\\r\\n\\r\\nWARC/1.0\\r\\n...") — a
+    Content-Length-driven parser must skip it; a delimiter-splitting
+    parser desynchronizes. Returns columns (seg_id, warc) plus the
+    golden per-record truth (seg_id, rec_idx, url, content_length,
+    payload_md5) in warc_golden()."""
+    segs: dict[int, bytearray] = {}
+    for seg_id, rec in _warc_records(n_rows, group):
+        segs.setdefault(seg_id, bytearray()).extend(rec)
+    return pd.DataFrame(
+        {"seg_id": list(segs), "warc": [bytes(b) for b in segs.values()]}
+    )
+
+
+def _record_bytes(url: str, warc_ts, payload: bytes) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _adversarial_payload() -> bytes:
+    return (
+        b"decoy\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 9999\r\n\r\n"
+        b"tail-bytes-after-embedded-fake-record"
+    )
+
+
+def _warc_records(n_rows: int, group: int = WARC_GROUP):
+    """Yields (seg_id, record_bytes) in deterministic order."""
+    corpus = gen_corpus(n_rows)
+    yield 0, _record_bytes(
+        "https://adversarial.example/embedded-magic",
+        datetime(2025, 1, 1, tzinfo=timezone.utc),
+        _adversarial_payload(),
+    )
+    for i, r in enumerate(corpus.itertuples()):
+        payload = bytes(r.html) if r.html is not None else r.text.encode("utf-8")
+        yield i // group, _record_bytes(r.url, r.warc_ts, payload)
+
+
+def warc_golden(n_rows: int, group: int = WARC_GROUP):
+    """Independent generator-side truth for parse_warc: one tuple per
+    record (seg_id, rec_idx, url, content_length, payload_md5)."""
+    import hashlib
+
+    counters: dict[int, int] = {}
+    out = []
+    for seg_id, rec in _warc_records(n_rows, group):
+        idx = counters.get(seg_id, 0)
+        counters[seg_id] = idx + 1
+        # re-derive url/payload from the raw record bytes via the header
+        # contract (NOT via the parser under test)
+        hdr_end = rec.index(b"\r\n\r\n")
+        headers = dict(
+            line.split(b": ", 1)
+            for line in rec[len(b"WARC/1.0\r\n") : hdr_end].split(b"\r\n")
+        )
+        clen = int(headers[b"Content-Length"])
+        payload = rec[hdr_end + 4 : hdr_end + 4 + clen]
+        out.append(
+            (
+                seg_id,
+                idx,
+                headers[b"WARC-Target-URI"].decode(),
+                clen,
+                hashlib.md5(payload).hexdigest(),
+            )
+        )
+    return out
+
+
+def warc_df(spark, n_rows: int):
+    return spark.createDataFrame(warc_corpus(n_rows), schema="seg_id long, warc binary")

@@ -567,37 +567,58 @@ NEARDUP_LSH_SEED0 = 100
 def neardup_candidates_lsh(
     emb: DataFrame,
     dim: int,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
     tables: int = NEARDUP_LSH_TABLES,
     planes: int = NEARDUP_LSH_PLANES,
     seed0: int = NEARDUP_LSH_SEED0,
+    margin: float = 1e-4,
 ) -> DataFrame:
-    """(a_id, b_id) pairs sharing >=1 sign-LSH bucket — the sub-quadratic
-    candidate generator for embedding near-dup.
+    """(a_id, b_id) candidate pairs: share >=1 sign-LSH bucket AND pass
+    a vectorized numpy cosine prefilter at threshold - margin — the
+    sub-quadratic candidate generator for embedding near-dup.
 
-    Cost model at 100 TB: bucket keys are computed narrow (no shuffle);
-    the only exchange is the self-join on (tbl, bucket).  With ``planes``
-    grown ~log2(n/bucket_budget), expected bucket size is bounded, so
-    the join output is O(n · bucket_size), never O(n²).  Hot buckets
-    (dense embedding clusters) are the skew surface: AQE skew-join
-    splitting handles the join side, and a per-bucket size cap (sample
-    or salt-split oversized buckets) is the escape hatch at extreme
-    clustering.  Recall is tuned by (tables, planes); the exact-recall
-    twin is d10_neardup_exact."""
-    from ocr_spark.operators.similarity import lsh_bucket_key
+    Shape: bucket keys are computed narrow (no shuffle); ONE exchange
+    groups vectors by (tbl, bucket); each bucket's pairs are scored by a
+    per-group numpy matmul (applyInPandas) and only pairs above
+    threshold - margin survive to the exact verify.  Scoring inside the
+    bucket group (rather than bucket-self-join → per-pair interpreted
+    fold) matters: Spark HOF folds are interpreted, so 10^6 surviving
+    join rows × dim fold steps cost ~10 s at sf0.1, while the same
+    comparisons as per-bucket BLAS are milliseconds — 12.3 s → ~1 s
+    benched.  The margin guarantees no exact-threshold pair is lost to
+    float summation-order differences (d10's technique); the exact JVM
+    fold then recomputes oracle-exact cosines on survivors only.
 
-    karr = F.array(
-        *[
-            lsh_bucket_key(F.col("embedding"), dim, planes, seed=seed0 + t)
-            for t in range(tables)
-        ]
-    )
-    keyed = emb.select("vec_id", F.posexplode(karr).alias("tbl", "bucket"))
-    a = keyed.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
-    b = keyed.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
+    At 100 TB: grow ``planes`` ~log2(n/bucket_budget) so expected bucket
+    size (and each group's matmul) stays bounded; total cost is
+    O(n · bucket_size), never O(n²).  Hot buckets (dense clusters) are
+    the skew surface: AQE handles the group-exchange, a per-bucket size
+    cap (salt-split oversized buckets) is the escape hatch.  Recall is
+    tuned by (tables, planes); the exact-recall twin is
+    d10_neardup_exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.operators.similarity import lsh_keys_batch
+
+    cut = threshold - margin
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cos = mat @ mat.T
+        ai, bi = np.nonzero(cos >= cut)
+        a, b = ids[ai], ids[bi]
+        keep = a < b
+        return pd.DataFrame({"a_id": a[keep], "b_id": b[keep]}).drop_duplicates()
+
+    keyed = lsh_keys_batch(emb, dim, tables, planes, seed0=seed0)
     return (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        keyed.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, "a_id long, b_id long")
         .distinct()
     )
 

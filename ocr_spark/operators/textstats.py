@@ -587,3 +587,114 @@ def t09_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     return url_stats(urls)
+
+
+# --- BM25 relevance scoring ---------------------------------------------------
+
+# Okapi BM25 with the odds-form idf (N - df + 0.5)/(df + 0.5) instead of
+# its logarithm: ln() is the one term whose libm implementations can
+# differ between the JVM and DuckDB in the last ulp, while +,-,*,/ on
+# doubles are IEEE-exact in both — the odds form is strictly monotone in
+# the standard idf, so ranking is unchanged and every score is
+# bit-reproducible cross-engine (same trick family as the integer-cents
+# aggregates).  Scores are emitted RAW (no rounding): identical doubles
+# canonicalize identically.
+BM25_TERMS = ("hash", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs: DataFrame, terms=BM25_TERMS, text_col: str = "text") -> DataFrame:
+    """Per-doc BM25 relevance for a fixed query — the retrieval-scoring
+    pass of a training-data curation pipeline (select documents relevant
+    to a topic seed query).
+
+    Scale shape: per-doc tf via array HOFs (narrow, no explode, no
+    shuffle); corpus stats (N, avgdl, per-term df) are ONE aggregated
+    row cross-joined back via broadcast — the whole operator is one
+    narrow pass plus a scalar-sized exchange, at any corpus size."""
+    toks = norm_tokens(text_col)
+
+    def _tf(term: str):
+        # NB: a 2-arg lambda would make F.filter pass (element, index) —
+        # the closure factory keeps it unary with the term bound early
+        return F.size(F.filter(F.col("ts"), lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)]
+    base = docs.select("doc_id", toks.alias("ts")).select(
+        "doc_id", F.size("ts").alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    one_minus_b = round(1.0 - BM25_B, 10)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        denom = tf + (
+            F.lit(BM25_K1) * (F.lit(one_minus_b) + (F.lit(BM25_B) * (F.col("dl") / avgdl)))
+        )
+        term_score = idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+        score = term_score if score is None else score + term_score
+    return (
+        j.select("doc_id", "dl", score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )
+
+
+def _bm25_oracle_sql(terms=BM25_TERMS) -> str:
+    one_minus_b = round(1.0 - BM25_B, 10)
+    tf_defs = ",\n             ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{term}')) AS INT) AS tf{i}"
+        for i, term in enumerate(terms)
+    )
+    df_defs = ",\n             ".join(
+        f"count(CASE WHEN tf{i} > 0 THEN 1 END) AS df{i}" for i in range(len(terms))
+    )
+    term_exprs = []
+    for i in range(len(terms)):
+        idf = f"((n_docs - df{i}) + CAST(0.5 AS DOUBLE)) / (df{i} + CAST(0.5 AS DOUBLE))"
+        denom = (
+            f"tf{i} + (CAST({BM25_K1} AS DOUBLE) * (CAST({one_minus_b} AS DOUBLE) "
+            f"+ (CAST({BM25_B} AS DOUBLE) * (dl / avgdl))))"
+        )
+        term_exprs.append(
+            f"(({idf}) * ((tf{i} * CAST({BM25_K1 + 1.0} AS DOUBLE)) / ({denom})))"
+        )
+    score = " + ".join(term_exprs)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+             {tf_defs}
+      FROM t
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+             {df_defs}
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, dl, total_dl / n_docs AS avgdl, n_docs,
+             {", ".join(f"tf{i}" for i in range(len(terms)))},
+             {", ".join(f"df{i}" for i in range(len(terms)))}
+      FROM base CROSS JOIN stats
+    )
+    SELECT doc_id, dl, {score} AS bm25
+    FROM scored WHERE ({score}) > 0
+    """
+
+
+@register("t10_bm25", oracle=_bm25_oracle_sql())
+def t10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(load_table(spark, sf_dir, "documents"))

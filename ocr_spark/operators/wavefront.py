@@ -50,8 +50,15 @@ from pyspark.sql import functions as F
 from ocr_spark.plans import register
 from ocr_spark.sources.io import load_table
 
-TILE = 64
-MAXLEN = 256  # per-string truncation => at most ceil(256/64) = 4x4 tiles
+# Tile size trades per-wave barrier count against per-tile work: each
+# wave is a materialized frontier (localCheckpoint), so at a fixed
+# MAXLEN fewer/larger tiles cut the per-wave scheduling latency that
+# dominates at bench scale (TILE 64 → 7 waves ≈ 9.4 s at sf0.1; TILE
+# 128 → 3 waves ≈ 4 s, identical output).  At cluster scale pick TILE
+# so a wave still carries >> cores tasks: tasks/wave = pairs × diagonal
+# length, so corpus-sized inputs saturate any cluster even at 128.
+TILE = 128
+MAXLEN = 256  # per-string truncation => at most ceil(256/128) = 2x2 tiles
 PAIR_STEP = 9  # doc_id % 9 == 0 pairs with doc_id+1 (deterministic, no LIMIT)
 
 _TASK_SCHEMA = (

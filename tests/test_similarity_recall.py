@@ -102,3 +102,35 @@ def test_d05_lsh_recall_floor(spark, sf_dir):
         assert pair in exact and abs(cos - exact[pair]) < 1e-9
     recall = len(lsh) / len(exact)
     assert recall >= 0.5, f"d05 LSH recall {recall:.2f} below floor"
+
+
+def test_lsh_keys_batch_matches_jvm_fold(spark, sf_dir):
+    """The numpy cumsum bucket keys must equal the interpreted JVM fold
+    (lsh_bucket_key) bit-for-bit — cumsum accumulates left-to-right in
+    float64 exactly like the sequential fold, so sign decisions agree
+    even for near-zero projections."""
+    from ocr_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        lsh_bucket_key,
+        lsh_keys_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tables, planes = 8, 4
+    karr = F.array(
+        *[
+            lsh_bucket_key(F.col("embedding"), EMBEDDING_DIM, planes, seed=t)
+            for t in range(tables)
+        ]
+    )
+    jvm = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in emb.select("vec_id", F.posexplode(karr).alias("tbl", "bucket")).collect()
+    }
+    np_keys = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in lsh_keys_batch(
+            emb, EMBEDDING_DIM, tables, planes, keep_embedding=False
+        ).collect()
+    }
+    assert jvm == np_keys and len(jvm) == emb.count() * tables

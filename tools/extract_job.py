@@ -72,12 +72,17 @@ def main() -> None:
             t0 = time.perf_counter()
             n = extract_pages(pages, num_partitions=args.partitions).count()
             walls.append(time.perf_counter() - t0)
+        import statistics
+
         wall = min(walls)
+        wall_med = statistics.median(walls)
         result.update(
             docs=n,
             wall_s=round(wall, 3),
+            wall_median_s=round(wall_med, 3),
             walls=[round(w, 3) for w in walls],
             docs_per_sec=round(n / wall, 2),
+            docs_per_sec_median=round(n / wall_med, 2),
             partitions=args.partitions,
         )
     else:
