@@ -96,6 +96,16 @@ def extract_pages(
     """
     cols = pages.select("url", "html", "text")
     if repartition:
+        if num_partitions is None:
+            # Pin the exchange width: an unspecified repartition("bucket")
+            # is AQE-coalescible, and AQE sizes partitions by BYTES —
+            # right for shuffles, wrong for a CPU-bound Python stage
+            # where 50 MB of html is minutes of parse work (observed:
+            # 16k-doc bench coalesced to 8 tasks on 32 cores, a 4x
+            # throughput loss with a straggler tail). Several tasks per
+            # core keeps every worker busy and bounds the tail; cluster
+            # jobs pass an explicit count (extract_job.py does).
+            num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 3
         bucketed = size_bucket_repartition(
             cols, num_partitions=num_partitions
         )
