@@ -78,6 +78,7 @@ HEADLINE = [
     "t03_lang_guess",
     "t10_bm25",
     "w01_wavefront_editdist",
+    "w02_tiled_cholesky",
     "x08_warc_parse",
     "x04_multimodal_features",
     "x05_frame_sample",

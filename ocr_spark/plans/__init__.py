@@ -82,6 +82,7 @@ DRIVER_PRIORITY: list[str] = [
     "d07_dupgram_filter",
     "t10_bm25",
     "x08_warc_parse",
+    "w02_tiled_cholesky",
     # -- high-value re-confirmations (fill to the 50-entry cap) ------------
     "q01_pricing_summary",
     "q02_filter_project",
@@ -95,7 +96,6 @@ DRIVER_PRIORITY: list[str] = [
     "q12_semi_anti_join",
     "q13_distinct_agg",
     "q14_rollup",
-    "q20_asof_join",
     "q23_percentiles",
     "d01_exact_dedup",
     "d03_minhash_lsh",
@@ -129,6 +129,7 @@ def load_all() -> None:
     from ocr_spark.operators import chunking  # noqa: F401
     from ocr_spark.operators import graph  # noqa: F401
     from ocr_spark.operators import wavefront  # noqa: F401
+    from ocr_spark.operators import tiled_cholesky  # noqa: F401
     from ocr_spark.extract import catalog  # noqa: F401
     from ocr_spark.streaming import catalog as streaming_catalog  # noqa: F401
 
