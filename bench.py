@@ -77,6 +77,7 @@ HEADLINE = [
     "t01_token_stats",
     "t03_lang_guess",
     "t10_bm25",
+    "t11_bpe_token_count",
     "w01_wavefront_editdist",
     "w02_tiled_cholesky",
     "x08_warc_parse",

@@ -698,3 +698,59 @@ def _bm25_oracle_sql(terms=BM25_TERMS) -> str:
 @register("t10_bm25", oracle=_bm25_oracle_sql())
 def t10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- BPE-style pre-tokenizer counting ----------------------------------------
+
+# GPT-2-family pre-tokenizer shape, restricted to the Java-regex ∩ RE2
+# common syntax (no lookahead/lookbehind — the same constraint t07's PII
+# patterns live under): contraction suffixes, letter runs, digit runs,
+# non-space symbol runs. Both engines tokenize identically because both
+# regex engines are leftmost-first over these alternations.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counts under a BPE-ish pre-tokenizer vs whitespace —
+    the context-budget planner's view of a corpus (LLM token costs track
+    the sub-word count, not the whitespace count).
+
+    Narrow single pass (regexp_extract_all + array ops, JVM-side); the
+    tokens-per-word ratio is the raw long/long division (bit-identical
+    IEEE expression in DuckDB)."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    ws = norm_tokens(text_col)
+    n_bpe = F.size(bpe)
+    n_ws = F.size(ws)
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_uniq_bpe"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(n_ws > 0, n_bpe.cast("double") / n_ws).otherwise(0.0).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+@register(
+    "t11_bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}') AS bpe,
+             {_TOKS} AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bpe) AS INT)                AS n_bpe_tokens,
+           CAST(len(list_distinct(bpe)) AS INT) AS n_uniq_bpe,
+           CAST(len(ws) AS INT)                 AS n_ws_tokens,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(bpe) AS DOUBLE) / len(ws) ELSE 0.0 END
+             AS tokens_per_word
+    FROM t
+    """,
+)
+def t11_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))

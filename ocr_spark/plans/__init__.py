@@ -83,6 +83,7 @@ DRIVER_PRIORITY: list[str] = [
     "t10_bm25",
     "x08_warc_parse",
     "w02_tiled_cholesky",
+    "t11_bpe_token_count",
     # -- high-value re-confirmations (fill to the 50-entry cap) ------------
     "q01_pricing_summary",
     "q02_filter_project",
@@ -96,7 +97,6 @@ DRIVER_PRIORITY: list[str] = [
     "q12_semi_anti_join",
     "q13_distinct_agg",
     "q14_rollup",
-    "q23_percentiles",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d06_dup_clusters",
