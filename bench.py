@@ -91,6 +91,8 @@ HEADLINE = [
     "s05_stream_extract",
     "s06_stream_static_join",
     "s07_stream_sliding",
+    "s08_stream_stream_join",
+    "d11_bloom_membership",
 ]
 
 

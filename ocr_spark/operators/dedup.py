@@ -1003,3 +1003,90 @@ def d09_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dup_clusters(docs, pairs)
     quality = quality_score(docs)
     return canonical_selection(docs, clusters, quality)
+
+
+# --- Bloom-style approximate membership ---------------------------------------
+
+BLOOM_BITS = 4096  # m
+BLOOM_LANES = 3  # k independent md5-derived positions per document
+
+# One-sided guarantee: an exact content match is ALWAYS maybe_seen
+# (zero false negatives); false-positive rate ~ (1 - e^(-k·n/m))^k and
+# every position is a deterministic function of the text, so the whole
+# operator — including its false positives — is reproducible and
+# oracle-able (unlike sketch-library blooms).
+
+
+def _bloom_positions(text_col, m: int = BLOOM_BITS, k: int = BLOOM_LANES):
+    """k bit positions per document from disjoint md5 hex lanes (the
+    hex60 cross-engine idiom: identical conv/substr arithmetic in
+    DuckDB)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(F.md5(text_col), 1 + i * 5, 5), 16, 10).cast("long"),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_membership(
+    seen_docs: DataFrame,
+    new_docs: DataFrame,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_LANES,
+) -> DataFrame:
+    """(doc_id, hits, maybe_seen) for every new doc: has this content
+    possibly been crawled before?  The membership index is the DISTINCT
+    position table of the seen corpus — at most ``m`` rows regardless of
+    corpus size, so at 10^12 documents the index is a few KB broadcast
+    to every probe task; the probe is a narrow pass + broadcast join.
+    This is the continuous-crawl front-door filter ahead of d08's exact
+    band-key probe (bloom says "definitely new" for most pages without
+    touching the index tables)."""
+    seen_pos = (
+        seen_docs.select(F.explode(_bloom_positions(F.col("text"), m, k)).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = (
+        new_docs.select("doc_id", F.explode(_bloom_positions(F.col("text"), m, k)).alias("pos"))
+        .join(F.broadcast(seen_pos), "pos", "left")
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.col("hit")).cast("int").alias("hits"),
+        (F.count(F.col("hit")) == k).alias("maybe_seen"),
+    )
+
+
+def _bloom_oracle_sql(m: int = BLOOM_BITS, k: int = BLOOM_LANES) -> str:
+    lanes = ", ".join(
+        f"CAST(concat('0x', substr(md5(text), {1 + i * 5}, 5)) AS BIGINT) % {m}"
+        for i in range(k)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, unnest([{lanes}]) AS pos
+      FROM documents
+    ),
+    seen AS (
+      SELECT DISTINCT pos FROM pos WHERE doc_id < {_SEEN_SPLIT_SQL}
+    )
+    SELECT p.doc_id,
+           CAST(count(s.pos) AS INT) AS hits,
+           count(s.pos) = {k} AS maybe_seen
+    FROM pos p LEFT JOIN seen s ON s.pos = p.pos
+    WHERE p.doc_id >= {_SEEN_SPLIT_SQL}
+    GROUP BY p.doc_id
+    """
+
+
+@register("d11_bloom_membership", oracle=_bloom_oracle_sql())
+def d11_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    return bloom_membership(
+        docs.filter(F.col("doc_id") < split), docs.filter(F.col("doc_id") >= split)
+    )

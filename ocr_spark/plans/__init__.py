@@ -84,6 +84,8 @@ DRIVER_PRIORITY: list[str] = [
     "x08_warc_parse",
     "w02_tiled_cholesky",
     "t11_bpe_token_count",
+    "s08_stream_stream_join",
+    "d11_bloom_membership",
     # -- high-value re-confirmations (fill to the 50-entry cap) ------------
     "q01_pricing_summary",
     "q02_filter_project",
@@ -94,9 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "q08_running_total",
     "q09_sessionize",
     "q10_top_orders",
-    "q12_semi_anti_join",
     "q13_distinct_agg",
-    "q14_rollup",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d06_dup_clusters",

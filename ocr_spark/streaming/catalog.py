@@ -200,3 +200,23 @@ def s07_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin enumerates exactly those starts."""
     _finish(ingest.sliding_counts(spark, sf_dir, name="s07_out"))
     return spark.table("s07_out")
+
+
+@register(
+    "s08_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def s08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time range join run to completion, gated
+    against the batch self-join."""
+    _finish(ingest.click_purchase_join(spark, sf_dir, name="s08_out"))
+    return spark.table("s08_out")

@@ -299,3 +299,52 @@ def sliding_counts(spark: SparkSession, sf_dir: str, name: str = "sliding_out"):
     return (
         agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     )
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str, name: str = "ss_join_out"):
+    """Stream-STREAM inner join (the attribution shape): each click joins
+    purchases by the same user within the following 30 minutes.
+
+    Both sides carry watermarks and the join condition includes the
+    event-time range — that is what lets Spark expire join state: a
+    buffered click can be dropped once the purchase-side watermark
+    passes click_ts + 30min, so state is bounded by the time window at
+    any stream length (without the range the state grows forever)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
