@@ -93,6 +93,7 @@ HEADLINE = [
     "s07_stream_sliding",
     "s08_stream_stream_join",
     "d11_bloom_membership",
+    "t12_repetition_stats",
 ]
 
 

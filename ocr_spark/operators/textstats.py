@@ -754,3 +754,102 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def t11_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- intra-document repetition metrics (Gopher-style) -------------------------
+
+# Complements d07 (INTER-document duplicated grams): these are the
+# within-document repetition rules of Gopher/FineWeb-class filters —
+# templated or degenerate pages repeat their own lines and bigrams.
+REP_DUP_LINE_MAX = 0.30
+REP_TOP_BIGRAM_MAX = 0.20
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc intra-document repetition: duplicate-line fraction and the
+    share of the most frequent word bigram. Narrow single pass — lines
+    and bigrams live in per-row arrays, aggregated with HOFs; no explode,
+    no shuffle at any corpus size. Fractions are raw int/int divisions
+    (bit-identical IEEE expressions in DuckDB)."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_uniq_lines = F.size(F.array_distinct(lines))
+    toks = norm_tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # top-bigram share via explode + two-level agg, NOT a per-row
+    # "count each distinct bigram inside the array" fold — that fold is
+    # O(len²) per document in the interpreted HOF evaluator, which a
+    # single long page turns into a straggler; the exploded agg is
+    # map-side combined and linear
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_uniq_lines).cast("double") / n_lines
+    ).otherwise(0.0)
+    line_stats = docs.select(
+        "doc_id", n_lines.alias("n_lines"), dup_line_frac.alias("dup_line_frac")
+    )
+    bg_stats = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    j = line_stats.join(bg_stats, "doc_id", "left")
+    top_bg_share = F.when(
+        F.col("n_bg").isNotNull() & (F.col("n_bg") > 0),
+        F.col("top_bg").cast("double") / F.col("n_bg"),
+    ).otherwise(0.0)
+    return j.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        top_bg_share.alias("top_bigram_share"),
+        (
+            (F.col("dup_line_frac") <= REP_DUP_LINE_MAX)
+            & (top_bg_share <= REP_TOP_BIGRAM_MAX)
+        ).alias("passes_repetition"),
+    )
+
+
+@register(
+    "t12_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter([trim(l) FOR l IN string_split(text, chr(10))], l -> l <> '') AS ls,
+             {_TOKS} AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, ls,
+             CASE WHEN len(toks) >= 2
+                  THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                  ELSE [] END AS bg
+      FROM t
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(ls) AS INT) AS n_lines,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(bg) > 0
+                  THEN CAST(list_max([len(list_filter(bg, x -> x = d)) FOR d IN list_distinct(bg)]) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END AS top_bigram_share
+      FROM b
+    )
+    SELECT doc_id, n_lines, dup_line_frac, top_bigram_share,
+           (dup_line_frac <= {REP_DUP_LINE_MAX} AND top_bigram_share <= {REP_TOP_BIGRAM_MAX})
+             AS passes_repetition
+    FROM f
+    """,
+)
+def t12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))

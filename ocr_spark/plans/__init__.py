@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "t11_bpe_token_count",
     "s08_stream_stream_join",
     "d11_bloom_membership",
+    "t12_repetition_stats",
     # -- high-value re-confirmations (fill to the 50-entry cap) ------------
     "q01_pricing_summary",
     "q02_filter_project",
@@ -96,7 +97,6 @@ DRIVER_PRIORITY: list[str] = [
     "q08_running_total",
     "q09_sessionize",
     "q10_top_orders",
-    "q13_distinct_agg",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d06_dup_clusters",
