@@ -26,9 +26,46 @@ EVENTS_DDL = (
 )
 
 
+def _parse_kafka_uri(uri: str) -> tuple[str, str]:
+    """``kafka://host1:9092,host2:9092/topic`` -> (bootstrap servers,
+    topic). Pure so the routing is unit-testable without a broker."""
+    rest = uri[len("kafka://") :]
+    servers, _, topic = rest.rpartition("/")
+    if not servers or not topic:
+        raise ValueError(
+            f"kafka events URI must be kafka://<bootstrap-servers>/<topic>, got {uri!r}"
+        )
+    return servers, topic
+
+
+def _read_events_kafka(spark: SparkSession, uri: str):
+    """Kafka twin of the file source: same output columns, so every
+    s-family plan builder runs unchanged on a cluster ingest topic
+    (JSON-encoded event rows in the message value). Requires the
+    spark-sql-kafka connector jar — absent in this sandbox, where tests
+    exercise the dispatch + URI parse only (SCALING.md §streaming)."""
+    servers, topic = _parse_kafka_uri(uri)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), EVENTS_DDL).alias("e"))
+        .select("e.*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ):
+    # source seam: a kafka:// URI routes to the connector source with
+    # the same columns; anything else is a directory for the file source
+    if sf_dir.startswith("kafka://"):
+        return _read_events_kafka(spark, sf_dir)
     # the file source requires a directory: stream the sf dir, glob-
     # filtered to the events file(s)
     reader = spark.readStream.schema(EVENTS_DDL).option(
@@ -153,9 +190,12 @@ def value_milestones(
         # buffer ALL Arrow chunks of the group, then sort once: sorting
         # each chunk independently makes cum_cents at a milestone
         # crossing depend on chunk arrival order for multi-chunk groups
-        whole = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        # rows with no event time have no place in an event-time-ordered
+        # accumulation: drop them BEFORE the ordered loop (NaT sorts
+        # last in pandas but ts.value is then -2**63, which would trip
+        # the high-water regression check spuriously)
+        whole = whole[whole["ts"].notna()].sort_values(["ts", "event_id"])
         for ts, eid, v in zip(whole["ts"], whole["event_id"], whole["value"]):
             ts_ms = int(ts.value // 1_000_000)
             if (ts_ms, int(eid)) < (last_ts, last_eid):
