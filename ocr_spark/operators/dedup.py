@@ -47,6 +47,12 @@ from ocr_spark.sources.io import load_table
 
 JACCARD_THRESHOLD = 0.10
 MINHASH_K = 16  # 4 bands x 4 rows
+# d02's exact self-join drops shingles shared by more than this many
+# documents from the JOIN KEY (corpus boilerplate carries no similarity
+# evidence and creates df² join rows — one shingle in 10⁶ docs is a
+# 10¹²-row key). Bounds every key's multiplicity; the hot set itself is
+# ≤ total_shingle_rows / cap distinct values, so it broadcasts.
+SHINGLE_DF_CAP = 128
 LSH_BANDS = 4
 LSH_ROWS = 4
 
@@ -99,6 +105,7 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    df_cap: int | None = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles for all pairs (or only
     ``candidates`` pairs when given — the LSH path).
@@ -106,16 +113,22 @@ def ngram_jaccard_pairs(
     With candidates, the shingle intersection is computed candidate-first
     (pair list joined to each side's shingles), so cost is linear in
     candidate pairs x shingles-per-doc — never the quadratic
-    shingle-self-join, which with candidates given would make the LSH
-    pruning cosmetic. Frequent-shingle skew is the classic hot key of
-    the unrestricted join — d03 sidesteps it because band keys are
-    signature-derived, not raw shingles.
+    shingle-self-join. Without candidates, the self-join key is bounded
+    by ``df_cap``: shingles appearing in more than df_cap documents are
+    corpus boilerplate, not similarity evidence, and are dropped from
+    the JOIN KEY (broadcast anti-join — the d07 heavy-hitter shape, so
+    no key can exceed df_cap² rows and AQE has nothing to split).
+    Denominators keep the FULL per-doc shingle counts, so the reported
+    jaccard is exact when no shared shingle was capped and a
+    conservative lower bound otherwise (pairs similar only through
+    boilerplate are the pairs a dedup pipeline must NOT merge).
+    ``df_cap=None`` restores the unrestricted join (test-only verifier).
     """
     sh = shingles if shingles is not None else _doc_shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     if candidates is not None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
         inter = (
             candidates.join(a, "doc_a")
             .join(b, ["doc_b", "sh"])
@@ -123,6 +136,17 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
+        join_sh = sh
+        if df_cap is not None:
+            hot = (
+                sh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > df_cap)
+                .select("sh")
+            )
+            join_sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        a = join_sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = join_sh.select(F.col("doc_id").alias("doc_b"), "sh")
         inter = (
             a.join(b, "sh")
             .filter(F.col("doc_a") < F.col("doc_b"))
@@ -165,9 +189,15 @@ _SHINGLE_CTE = f"""
     "d02_ngram_jaccard",
     oracle=_SHINGLE_CTE
     + f"""
-    , inter AS (
+    , join_sh AS (
+      -- mirror of SHINGLE_DF_CAP: boilerplate shingles leave the join key
+      SELECT doc_id, sh FROM doc_sh
+      WHERE sh NOT IN (
+        SELECT sh FROM doc_sh GROUP BY sh HAVING count(*) > {SHINGLE_DF_CAP}
+      )
+    ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM join_sh a JOIN join_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,

@@ -103,3 +103,59 @@ def test_d07_hot_and_tail_partition_freq_exactly(spark):
     nosplit = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in
                dupgram_stats(docs, hot_min=1 << 60).collect()}
     assert split == nosplit
+
+
+# --- d02: shingle-DF cap on the exact Jaccard self-join ----------------------
+
+
+def _d02_corpus(spark, n_docs=3000):
+    """90% of docs share one boilerplate shingle; engineered cold
+    near-dup pairs (2i, 2i+1) share a unique 4-token overlap."""
+    base = spark.range(n_docs)
+    pair = (F.col("id") / 2).cast("long")
+    shared = F.concat(
+        F.lit("alpha"), pair, F.lit(" beta"), pair, F.lit(" gamma"), pair,
+        F.lit(" delta"), pair,
+    )
+    uniq = F.concat(F.lit(" u"), F.col("id"), F.lit("a u"), F.col("id"), F.lit("b"))
+    boiler = F.lit(" click here now")
+    return base.select(
+        F.col("id").alias("doc_id"),
+        (
+            F.when(F.col("id") % 10 < 9, F.concat(shared, uniq, boiler))
+            .otherwise(F.concat(shared, uniq))
+        ).alias("text"),
+    )
+
+
+def test_d02_df_cap_bounds_hot_shingle(spark):
+    """The boilerplate shingle (df=90%) must never enter the self-join
+    key; the engineered cold near-dup pairs must still be found with
+    exact intersection counts over the surviving shingles."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _d02_corpus(spark)
+    out = ngram_jaccard_pairs(docs, threshold=0.10, df_cap=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    # the cap's anti-join is the hinted broadcast
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    want = {(2 * i, 2 * i + 1) for i in range(1500)}
+    assert got == want
+    # intersection = the 2 shared non-boilerplate shingles of each pair
+    # (4 shared tokens -> 2 shared 3-gram shingles); the hot shingle is
+    # excluded from n_inter even for hot-hot pairs
+    assert all(r.n_inter == 2 for r in rows)
+
+
+def test_d02_cap_is_noop_below_threshold(spark):
+    """On a corpus where no shingle exceeds the cap, the capped join is
+    row-identical to the unrestricted verifier join."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _d02_corpus(spark, n_docs=40)
+    key = lambda r: (r.doc_a, r.doc_b, r.n_inter, r.n_a, r.n_b, r.jaccard)  # noqa: E731
+    capped = sorted(map(key, ngram_jaccard_pairs(docs, df_cap=1 << 30).collect()))
+    free = sorted(map(key, ngram_jaccard_pairs(docs, df_cap=None).collect()))
+    assert capped and capped == free
