@@ -355,16 +355,21 @@ def e03_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"), F.col("centroid")
         ).alias("cos"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "label",
-            F.col("cand_label").cast("int").alias("assigned_label"),
-            (F.col("label") == F.col("cand_label")).alias("is_own_label"),
-        )
+    # argmax(cos) as min(struct(-cos, cand_label)): struct-min compares
+    # lexicographically, so this IS the (cos DESC, cand_label ASC)
+    # window order — but as a hash aggregate with MAP-SIDE partial min,
+    # the exchange carries one row per vector instead of sorting the
+    # full n_vectors x n_labels exploded set (VERDICT r03 #4)
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(
+            F.struct((-F.col("cos")).alias("nc"), F.col("cand_label").alias("cl"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("b.cl").cast("int").alias("assigned_label"),
+        (F.col("label") == F.col("b.cl")).alias("is_own_label"),
     )
 
 
@@ -536,11 +541,22 @@ def kmeans(
             "cell",
             sq_dist(F.col("embedding"), F.col("centroid")).alias("d2"),
         )
-        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        # argmin via min(struct(d2, cell, embedding)): (d2, cell) is the
+        # exact (d2 ASC, cell ASC) tie order and is unique per vector, so
+        # the trailing embedding never decides — it just rides along.
+        # Hash agg with map-side partial min: the per-iteration exchange
+        # carries one row per vector, not the k-times-exploded sort input
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell", "d2")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cell", "embedding")).alias("b")
+            )
+            .select(
+                "vec_id",
+                F.col("b.embedding").alias("embedding"),
+                F.col("b.cell").alias("cell"),
+                F.col("b.d2").alias("d2"),
+            )
             .persist()
         )
         inertias.append(assigned.agg(F.sum("d2")).collect()[0][0])

@@ -146,3 +146,14 @@ def test_size_bucket_repartition_fills_partitions(spark):
         bucketed.groupBy(F.spark_partition_id().alias("pid")).count().count()
     )
     assert nonempty >= 48, f"only {nonempty}/64 partitions non-empty"
+
+
+def test_e03_e05_argmin_has_no_window_sort(spark, sf_dir):
+    """The centroid argmin is a map-side-combinable hash aggregate, not a
+    row_number window: no Window operator (and hence no per-iteration
+    full sort of the n_vectors x n_centroids exploded set) anywhere in
+    either plan; a partial_min partial aggregate must be present."""
+    for name in ("e03_centroid_assign", "e05_kmeans"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, f"{name}: window argmin crept back\n{plan[:2000]}"
+        assert "partial_min" in plan or "partial min" in plan.lower(), name
