@@ -124,6 +124,59 @@ def _gemm_sub(blk: list[float], lik: list[float], ljk: list[float], t: int) -> l
     return out
 
 
+def _np_potrf(blk, t: int):
+    """Vectorized POTRF, bit-identical to _potrf: each column's k-terms
+    are subtracted as whole-column rank-1 updates in ascending k, so
+    every element sees the exact same IEEE op sequence as the scalar
+    loop (numpy elementwise multiply/subtract are individually correctly
+    rounded; nothing is fused or reassociated)."""
+    import numpy as np
+
+    out = np.array(blk, dtype=np.float64).reshape(t, t)
+    for c in range(t):
+        acc = out[c, c]
+        for k in range(c):
+            acc = acc - out[c, k] * out[c, k]
+        d = math.sqrt(acc)
+        out[c, c] = d
+        col = out[c + 1 :, c].copy()
+        for k in range(c):
+            col = col - out[c + 1 :, k] * out[c, k]
+        out[c + 1 :, c] = col / d
+    for c in range(t):
+        out[: c, c] = 0.0
+    return out.ravel().tolist()
+
+
+def _np_trsm(blk, lkk, t: int):
+    """Vectorized TRSM (whole column per step, ascending k) — see
+    _np_potrf for the exactness argument."""
+    import numpy as np
+
+    out = np.array(blk, dtype=np.float64).reshape(t, t)
+    l = np.array(lkk, dtype=np.float64).reshape(t, t)
+    for c in range(t):
+        col = out[:, c].copy()
+        for k in range(c):
+            col = col - out[:, k] * l[c, k]
+        out[:, c] = col / l[c, c]
+    return out.ravel().tolist()
+
+
+def _np_gemm_sub(blk, lik, ljk, t: int):
+    """Vectorized blk -= L_ik · L_jkᵀ as t rank-1 (outer-product)
+    subtractions in ascending k — per element the identical ascending-k
+    IEEE fold as _gemm_sub, t² elements per step instead of one."""
+    import numpy as np
+
+    out = np.array(blk, dtype=np.float64).reshape(t, t)
+    a = np.array(lik, dtype=np.float64).reshape(t, t)
+    b = np.array(ljk, dtype=np.float64).reshape(t, t)
+    for k in range(t):
+        out = out - np.outer(a[:, k], b[:, k])
+    return out.ravel().tolist()
+
+
 def _kernel(fn):
     import pandas as pd
 
@@ -139,9 +192,20 @@ def _kernel(fn):
     return run
 
 
-def tiled_cholesky(spark: SparkSession, n: int = CHOL_N, tile: int = CHOL_TILE) -> DataFrame:
+def tiled_cholesky(
+    spark: SparkSession,
+    n: int = CHOL_N,
+    tile: int = CHOL_TILE,
+    vectorized: bool = True,
+) -> DataFrame:
     """(i, j, l): the lower-triangular Cholesky factor, computed by the
-    tiled POTRF → TRSM → GEMM panel iteration."""
+    tiled POTRF → TRSM → GEMM panel iteration.
+
+    ``vectorized=True`` (default) runs the numpy fixed-order kernels —
+    bit-identical to the scalar loops (tests/test_cholesky.py pins both
+    against each other and the oracle), ~tile² faster per element;
+    ``vectorized=False`` keeps the scalar loops as the oracle-pinned
+    reference mode."""
     a = gen_spd_matrix(n)
     nt = n // tile
     rows = [
@@ -156,9 +220,14 @@ def tiled_cholesky(spark: SparkSession, n: int = CHOL_N, tile: int = CHOL_TILE) 
     tiles = spark.createDataFrame(rows, _TILE_SCHEMA)
 
     t = tile
-    potrf = _kernel(lambda row: _potrf(list(row.block), t))
-    trsm = _kernel(lambda row: _trsm(list(row.block), list(row.lkk), t))
-    gemm = _kernel(lambda row: _gemm_sub(list(row.block), list(row.lik), list(row.ljk), t))
+    if vectorized:
+        potrf = _kernel(lambda row: _np_potrf(row.block, t))
+        trsm = _kernel(lambda row: _np_trsm(row.block, row.lkk, t))
+        gemm = _kernel(lambda row: _np_gemm_sub(row.block, row.lik, row.ljk, t))
+    else:
+        potrf = _kernel(lambda row: _potrf(list(row.block), t))
+        trsm = _kernel(lambda row: _trsm(list(row.block), list(row.lkk), t))
+        gemm = _kernel(lambda row: _gemm_sub(list(row.block), list(row.lik), list(row.ljk), t))
 
     done: list[DataFrame] = []
     for k in range(nt):

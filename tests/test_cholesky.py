@@ -38,3 +38,26 @@ def test_cholesky_lineage_bounded(spark, sf_dir):
     df = QUERIES["w02_tiled_cholesky"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "MapInPandas" not in plan  # every panel round checkpointed
+
+
+def test_np_kernels_bit_identical_to_scalar():
+    """The vectorized kernels must reproduce the scalar fixed-order IEEE
+    op sequence exactly — element-for-element equality (==, not allclose)
+    on a 32x32 tile with adversarial magnitude spread."""
+    from ocr_spark.operators.tiled_cholesky import (
+        _gemm_sub, _mix, _np_gemm_sub, _np_potrf, _np_trsm, _potrf, _trsm,
+    )
+
+    t = 32
+    # SPD-ish diagonal-dominant block for potrf; raw mixes for the rest
+    m = [[float(_mix(i, k)) for k in range(t)] for i in range(t)]
+    spd = [
+        sum(m[i][k] * m[j][k] for k in range(t)) + (3 * t if i == j else 0)
+        for i in range(t) for j in range(t)
+    ]
+    raw = [float(_mix(i, j + 77)) * 1e-3 + float(_mix(j, i)) for i in range(t) for j in range(t)]
+    lkk = _potrf(spd, t)
+
+    assert _np_potrf(spd, t) == _potrf(spd, t)
+    assert _np_trsm(raw, lkk, t) == _trsm(raw, lkk, t)
+    assert _np_gemm_sub(spd, raw, raw, t) == _gemm_sub(spd, raw, raw, t)
