@@ -1,0 +1,337 @@
+"""t13: true vocab-driven BPE tokenization (not the t11 pre-token count).
+
+The reference's byte-stream recognition loop (`/root/reference/src/`
+task-granular data walks) has no tokenizer; this operator exists because
+a training-data pipeline ultimately budgets context by MERGED tokens —
+VERDICT r03 "What's missing" #3.
+
+Design (Spark-first, zero Python on the hot path):
+
+A trained BPE merge table is applied in RANK ORDER as sequential string
+replaces over a sentinel-encoded form of each document:
+
+  pre-tokens (the t11 GPT-2-shaped regex) ->
+  every symbol wrapped in its OWN separators ("<US>c<US>" per char),
+  words joined by a distinct boundary sentinel <RS> ->
+  for each merge (a, b) in rank order:
+      replace "<US>a<US><US>b<US>" -> "<US>ab<US>"
+
+Each symbol owning both its delimiters is what makes replace-all equal
+the classic merge-all pass: adjacent occurrences share no characters
+(a shared middle delimiter would make left-to-right replace skip every
+second occurrence — caught by the property test), and the <RS> word
+boundary can never match a merge pattern, so merges stay word-local.
+
+This sequential-replace form is EXACTLY the classic lowest-rank-first
+BPE (the GPT-2 ``bpe()`` loop): merging pair r can only create pairs
+that contain r's output symbol, and any merge consuming that symbol was
+necessarily learned later, so no merge with rank < r can become
+applicable after r — applying merges once, in rank order, visits the
+same merge sequence the priority loop does (property-tested against the
+classic implementation in tests/test_bpe.py).
+
+Everything is builtin string expressions (regexp_extract_all, transform,
+replace, length), so the 100 TB plan is one codegen'd narrow scan; the
+merge table travels inside the expression tree (a few KB — the
+broadcast-variable degenerate case). The DuckDB oracle evaluates the
+IDENTICAL encode/replace/length arithmetic, so the gate covers the full
+tokenization byte-exactly (per-doc md5 of the merged encoding), not just
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.textstats import BPE_PATTERN
+from ocr_spark.plans import register
+from ocr_spark.sources.io import load_table
+
+SEP = "\x1f"  # unit separator: wraps every symbol; never in corpus text
+WB = "\x1e"  # record separator: word boundary (merges cannot cross it)
+N_MERGES = 128
+
+# Deterministic seed corpus the shipped merge table is trained on — the
+# vocab artifact a real pipeline would load from its tokenizer release.
+SEED_CORPUS = """
+the quick brown fox jumps over the lazy dog and the dog sleeps
+data pipelines tokenize the documents and pack the token sequences
+the spark engine reads parquet tables and writes iceberg tables
+streaming queries aggregate events into windows with watermarks
+the extraction pipeline strips boilerplate from the crawled pages
+duplicate documents are removed with minhash signatures and bands
+embedding vectors are clustered and the nearest neighbours returned
+the training corpus is filtered scored deduplicated and chunked
+common crawl pages contain links text markup and binary payloads
+large language models consume packed context windows of tokens
+the scheduler assigns partitions to executors across the cluster
+checkpoint restart resumes the committed partitions without rework
+quality filters count stopwords punctuation and repeated lines
+the tokenizer merges frequent symbol pairs into larger subwords
+shuffle exchanges move rows between stages through the network
+broadcast joins ship the small dimension table to every task
+""".split("\n")
+
+
+def train_bpe_merges(texts: list[str], n_merges: int = N_MERGES) -> list[tuple[str, str]]:
+    """Classic BPE training: repeatedly merge the most frequent adjacent
+    symbol pair (ties broken lexicographically — deterministic), over
+    pre-token frequencies. Pure Python; runs once at import on the seed
+    corpus (milliseconds) or in tests on fixture corpora."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.findall(BPE_PATTERN, t):
+            words[tuple(w)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, freq in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        # deterministic: highest count, then lexicographically smallest pair
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merges.append((a, b))
+        new_words: Counter = Counter()
+        for sym, freq in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] += freq
+        words = new_words
+    return merges
+
+
+MERGES: list[tuple[str, str]] = train_bpe_merges(SEED_CORPUS)
+
+
+def classic_bpe_encode(word: str, merges: list[tuple[str, str]] | None = None) -> list[str]:
+    """Reference implementation: the GPT-2 ``bpe()`` priority loop —
+    repeatedly merge the present pair with the LOWEST rank. Used by the
+    property tests to pin the sequential-replace form."""
+    ranks = {p: i for i, p in enumerate(merges if merges is not None else MERGES)}
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[i], sym[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+# --- the JVM expression + its DuckDB mirror -----------------------------------
+
+
+def _clean_col(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.replace(F.replace(c, F.lit(SEP), F.lit("")), F.lit(WB), F.lit(""))
+
+
+def _encode_col(text_col) -> Column:
+    """Sentinel encoding of a document: every char wrapped as SEP+c+SEP,
+    words joined by WB (which no merge pattern can span)."""
+    words = F.regexp_extract_all(_clean_col(text_col), F.lit(BPE_PATTERN), 0)
+    enc_word = lambda w: F.regexp_replace(w, "(.)", SEP + "$1" + SEP)  # noqa: E731
+    return F.concat_ws(WB, F.transform(words, enc_word))
+
+
+def merged_encoding_col(text_col) -> Column:
+    """The encoding after all merges applied in rank order (chained
+    builtin replace — stays inside the JVM expression tree)."""
+    enc = _encode_col(text_col)
+    for a, b in MERGES:
+        enc = F.replace(
+            enc,
+            F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+            F.lit(f"{SEP}{a}{b}{SEP}"),
+        )
+    return enc
+
+
+def bpe_token_array_col(text_col) -> Column:
+    """The merged token sequence as array<string>: split the encoding on
+    SEP; real tokens are the non-empty fragments that aren't the word
+    boundary (tokens can never equal WB — it's stripped from the text
+    before encoding)."""
+    enc = merged_encoding_col(text_col)
+    return F.filter(
+        F.split(enc, SEP), lambda t: (t != F.lit("")) & (t != F.lit(WB))
+    )
+
+
+def bpe_token_count_col(text_col) -> Column:
+    """True merged-token count: every token owns exactly two SEPs, so
+    n_tokens = count(SEP) / 2."""
+    enc = merged_encoding_col(text_col)
+    n_sep = F.length(enc) - F.length(F.replace(enc, F.lit(SEP), F.lit("")))
+    return (n_sep / 2).cast("int")
+
+
+_SEP_SQL = "chr(31)"
+_WB_SQL = "chr(30)"
+
+
+def _encode_sql(text_expr: str) -> str:
+    clean = f"replace(replace({text_expr}, {_SEP_SQL}, ''), {_WB_SQL}, '')"
+    pat = BPE_PATTERN.replace("'", "''")
+    words = f"regexp_extract_all({clean}, '{pat}')"
+    enc_word = f"regexp_replace(w, '(.)', {_SEP_SQL} || '\\1' || {_SEP_SQL}, 'g')"
+    return f"array_to_string(list_transform({words}, w -> {enc_word}), {_WB_SQL})"
+
+
+def _merge_replace_sql(expr: str, merges: list[tuple[str, str]]) -> str:
+    """Apply a SLICE of the merge table as nested replace() calls. The
+    control chars are embedded literally inside the quoted patterns —
+    DuckDB string literals take them as-is."""
+    for a, b in merges:
+        pat = f"{SEP}{a}{SEP}{SEP}{b}{SEP}".replace("'", "''")
+        rep = f"{SEP}{a}{b}{SEP}".replace("'", "''")
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+# DuckDB's binder caps expression-tree depth at 128, so the full merge
+# chain cannot be one nested expression; stage it through MATERIALIZED
+# CTEs of _STAGE replaces each (the same depth trick w02's generated
+# Cholesky SQL needs — lateral chains must materialize).
+_STAGE = 32
+
+
+
+
+def bpe_tokenize_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc true-BPE stats: merged token count, pre-token (word)
+    count, merged-tokens-per-word, and the md5 of the merged encoding —
+    the digest gates the ENTIRE tokenization byte-exactly, not just the
+    count."""
+    n_words = F.size(F.regexp_extract_all(_clean_col(text_col), F.lit(BPE_PATTERN), 0))
+    enc = merged_encoding_col(text_col)
+    n_sep = F.length(enc) - F.length(F.replace(enc, F.lit(SEP), F.lit("")))
+    n_tok = (n_sep / 2).cast("int")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_bpe_tokens"),
+        n_words.cast("int").alias("n_words"),
+        F.when(n_words > 0, n_tok.cast("double") / n_words)
+        .otherwise(0.0)
+        .alias("tokens_per_word"),
+        F.md5(enc).alias("tok_digest"),
+    )
+
+
+def _encoding_ctes_sql() -> tuple[str, str]:
+    """(CTE chain applying the full merge table in _STAGE-sized
+    materialized steps, name of the final CTE). The final CTE has
+    columns (doc_id, enc, n_words)."""
+    pat = BPE_PATTERN.replace("'", "''")
+    clean = f"replace(replace(text, {_SEP_SQL}, ''), {_WB_SQL}, '')"
+    n_words = f"len(regexp_extract_all({clean}, '{pat}'))"
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT doc_id,"
+        f" {_encode_sql('text')} AS enc, {n_words} AS n_words FROM documents)"
+    ]
+    for k in range(0, len(MERGES), _STAGE):
+        stage = _merge_replace_sql("enc", MERGES[k : k + _STAGE])
+        ctes.append(
+            f"e{k // _STAGE + 1} AS MATERIALIZED (SELECT doc_id,"
+            f" {stage} AS enc, n_words FROM e{k // _STAGE})"
+        )
+    return ", ".join(ctes), f"e{(len(MERGES) + _STAGE - 1) // _STAGE}"
+
+
+def _t13_oracle_sql() -> str:
+    ctes, last = _encoding_ctes_sql()
+    n_tok = (
+        f"CAST((length(enc) - length(replace(enc, {_SEP_SQL}, ''))) // 2 AS INT)"
+    )
+    return f"""
+    WITH {ctes}
+    SELECT doc_id,
+           {n_tok} AS n_bpe_tokens,
+           CAST(n_words AS INT) AS n_words,
+           CASE WHEN n_words > 0
+                THEN CAST({n_tok} AS DOUBLE) / n_words ELSE 0.0 END
+             AS tokens_per_word,
+           md5(enc) AS tok_digest
+    FROM {last}
+    """
+
+
+@register("t13_bpe_tokenize", oracle=_t13_oracle_sql())
+def t13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_tokenize_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _p03_oracle_sql() -> str:
+    """p02's next-fit packing recursion over TRUE merged-BPE token
+    chunks (non-overlapping CHUNK_TOKENS windows) — the exact context
+    budget a training pipeline packs by, VERDICT r03 missing #3."""
+    from ocr_spark.functions.text import hex60_sql
+    from ocr_spark.operators.chunking import (
+        CHUNK_TOKENS,
+        PACK_GROUPS,
+        pack_oracle_wrap_sql,
+    )
+
+    enc_ctes, last = _encoding_ctes_sql()
+    grp = f"{hex60_sql('CAST(doc_id AS VARCHAR)')} % {PACK_GROUPS}"
+    return pack_oracle_wrap_sql(f"""{enc_ctes}, toks AS (
+      SELECT doc_id,
+             list_filter(string_split(enc, {_SEP_SQL}),
+                         t -> t <> '' AND t <> {_WB_SQL}) AS ts
+      FROM {last}
+    ), starts AS (
+      SELECT doc_id, ts,
+             unnest(range(0, len(ts), {CHUNK_TOKENS})) AS start_tok,
+             unnest(range(0, CAST(ceil(len(ts) / {CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_idx
+      FROM toks WHERE len(ts) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(ts[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT) AS n,
+             CAST({grp} AS INT) AS pack_group
+      FROM starts
+    )""")
+
+
+@register("p03_bpe_pack", oracle=_p03_oracle_sql())
+def p03_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over TRUE BPE tokens: t13's merged tokenization
+    -> non-overlapping CHUNK_TOKENS-token windows -> the p02 salted
+    next-fit packer. Plan shape: one codegen'd narrow scan (encode +
+    split + chunk), one exchange into PACK_GROUPS Arrow groups — the
+    same single-wide-exchange profile as p02, with exact token budgets
+    instead of whitespace pre-token counts."""
+    from ocr_spark.operators.chunking import (
+        CHUNK_TOKENS,
+        chunk_token_arrays,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", bpe_token_array_col("text").alias("ts"))
+    chunks = chunk_token_arrays(toks, window=CHUNK_TOKENS, stride=CHUNK_TOKENS)
+    return pack_chunks(chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"))

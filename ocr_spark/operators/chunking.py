@@ -24,18 +24,16 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 
 
-def chunk_documents(
-    docs: DataFrame,
-    text_col: str = "text",
+def chunk_token_arrays(
+    toks: DataFrame,
     window: int = CHUNK_TOKENS,
     stride: int = CHUNK_STRIDE,
 ) -> DataFrame:
-    """One row per (doc, chunk): chunk_idx, token offset, chunk length,
-    md5 digest of the space-joined chunk (the digest stands in for the
-    chunk text so the driver compare stays value-hashable)."""
-    toks = docs.select("doc_id", norm_tokens(text_col).alias("ts")).filter(
-        F.size("ts") > 0
-    )
+    """Chunk any (doc_id, ts: array<string>) frame: one row per
+    (doc, chunk) with chunk_idx, token offset, chunk length, md5 digest
+    of the space-joined chunk (the digest stands in for the chunk text
+    so the driver compare stays value-hashable)."""
+    toks = toks.filter(F.size("ts") > 0)
     starts = F.sequence(F.lit(0), F.size("ts") - 1, F.lit(stride))
     chunks = toks.select(
         "doc_id", F.size("ts").alias("n_tokens"), "ts",
@@ -48,6 +46,17 @@ def chunk_documents(
         "start_tok",
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    return chunk_token_arrays(
+        docs.select("doc_id", norm_tokens(text_col).alias("ts")), window, stride
     )
 
 
@@ -128,25 +137,12 @@ def pack_chunks(chunks: DataFrame) -> DataFrame:
     )
 
 
-def _pack_oracle_sql() -> str:
-    from ocr_spark.functions.text import hex60_sql
-
-    grp = f"{hex60_sql('CAST(doc_id AS VARCHAR)')} % {PACK_GROUPS}"
+def pack_oracle_wrap_sql(chunk_ctes: str) -> str:
+    """Wrap any CTE chain ending in ``chunks(doc_id, chunk_idx, n,
+    pack_group)`` with the deterministic next-fit packing recursion —
+    shared by p02 (word chunks) and p03 (true-BPE chunks)."""
     return f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, list_filter({TOKENS_SQL.format(col='text')}, t -> t <> '') AS ts
-      FROM documents
-    ), starts AS (
-      SELECT doc_id, ts,
-             unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start_tok,
-             unnest(range(0, CAST(ceil(len(ts) / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
-      FROM toks WHERE len(ts) > 0
-    ), chunks AS (
-      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-             CAST(len(ts[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT) AS n,
-             CAST({grp} AS INT) AS pack_group
-      FROM starts
-    ), g AS (
+    WITH RECURSIVE {chunk_ctes}, g AS (
       SELECT *, CAST(row_number() OVER (PARTITION BY pack_group
                      ORDER BY doc_id, chunk_idx) AS INT) AS rn
       FROM chunks
@@ -164,6 +160,26 @@ def _pack_oracle_sql() -> str:
            CAST(p.bin_idx AS INT) AS bin_idx, g.n AS n_chunk_tokens
     FROM g JOIN pack p ON p.pack_group = g.pack_group AND p.rn = g.rn
     """
+
+
+def _pack_oracle_sql() -> str:
+    from ocr_spark.functions.text import hex60_sql
+
+    grp = f"{hex60_sql('CAST(doc_id AS VARCHAR)')} % {PACK_GROUPS}"
+    return pack_oracle_wrap_sql(f"""toks AS (
+      SELECT doc_id, list_filter({TOKENS_SQL.format(col='text')}, t -> t <> '') AS ts
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, ts,
+             unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start_tok,
+             unnest(range(0, CAST(ceil(len(ts) / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
+      FROM toks WHERE len(ts) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(ts[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT) AS n,
+             CAST({grp} AS INT) AS pack_group
+      FROM starts
+    )""")
 
 
 @register("p02_sequence_pack", oracle=_pack_oracle_sql())

@@ -129,6 +129,7 @@ def load_all() -> None:
     from ocr_spark.operators import chunking  # noqa: F401
     from ocr_spark.operators import graph  # noqa: F401
     from ocr_spark.operators import wavefront  # noqa: F401
+    from ocr_spark.operators import bpe  # noqa: F401
     from ocr_spark.operators import tiled_cholesky  # noqa: F401
     from ocr_spark.extract import catalog  # noqa: F401
     from ocr_spark.streaming import catalog as streaming_catalog  # noqa: F401

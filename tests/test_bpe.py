@@ -1,0 +1,127 @@
+"""t13 true-BPE property tests.
+
+Pins the operator's sequential-replace formulation (apply each merge
+once, in rank order, as a replace-all over the sentinel encoding) to the
+classic GPT-2 ``bpe()`` priority loop on TRAINED merge tables — the
+equivalence the ``bpe.py`` module docstring argues. Merge tables are
+always produced by ``train_bpe_merges`` (the equivalence only holds for
+training-derived tables, where a merged symbol cannot exist before its
+creating merge).
+
+Mirrors the reference's per-feature self-checking tests
+(`/root/reference/tests/non-regression-tests/`), plus the differential
+oracle in test_catalog_oracle.py (t13 row) the reference never had.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.operators.bpe import (
+    MERGES,
+    SEED_CORPUS,
+    SEP,
+    WB,
+    classic_bpe_encode,
+    train_bpe_merges,
+)
+from ocr_spark.operators.textstats import BPE_PATTERN
+
+
+def _encode_word(word: str) -> str:
+    """Python mirror of _encode_col for a single word: every char owns
+    both its separators."""
+    return "".join(f"{SEP}{c}{SEP}" for c in word)
+
+
+def _sequential_replace(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python mirror of merged_encoding_col restricted to one word:
+    left-to-right replace-all per merge, in rank order — exactly what
+    F.replace / DuckDB replace do."""
+    enc = _encode_word(word)
+    for a, b in merges:
+        enc = enc.replace(f"{SEP}{a}{SEP}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}")
+    toks = [t for t in enc.split(SEP) if t]
+    return toks
+
+
+words = st.text(alphabet="abcde", min_size=1, max_size=12)
+
+
+@given(corpus=st.lists(words, min_size=1, max_size=20), probe=words)
+@settings(max_examples=200, deadline=None)
+def test_sequential_replace_equals_classic_loop(corpus, probe):
+    merges = train_bpe_merges([" ".join(corpus)], n_merges=24)
+    for w in corpus + [probe]:
+        assert _sequential_replace(w, merges) == classic_bpe_encode(w, merges), (
+            w,
+            merges,
+        )
+
+
+@given(word=st.text(alphabet="ab", min_size=1, max_size=16))
+@settings(max_examples=100, deadline=None)
+def test_adjacent_runs_merge_like_classic(word):
+    """Runs of identical symbols are the adversarial case for replace-all
+    (overlapping occurrences) — the own-delimiters encoding must make
+    them disjoint."""
+    merges = train_bpe_merges(["ab ab aa bb aab abb " + word], n_merges=16)
+    assert _sequential_replace(word, merges) == classic_bpe_encode(word, merges)
+
+
+def test_tokens_roundtrip_to_word():
+    for line in SEED_CORPUS:
+        for w in re.findall(BPE_PATTERN, line):
+            assert "".join(classic_bpe_encode(w)) == w
+
+
+def test_training_is_deterministic():
+    assert train_bpe_merges(SEED_CORPUS) == MERGES
+    assert len(MERGES) > 0
+
+
+def test_shipped_merges_actually_merge():
+    """The shipped table must compress the seed corpus (tokens < chars)
+    or the operator is a no-op count."""
+    w = "the"
+    assert len(classic_bpe_encode(w)) < len(w)
+
+
+def test_spark_expression_matches_classic(spark):
+    """The JVM column expression itself (not just its Python mirror)
+    reproduces the classic loop on a corpus with sentinel chars, runs of
+    repeats, and multi-word docs."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.bpe import bpe_token_count_col, merged_encoding_col
+
+    texts = [
+        "the quick brown fox",
+        "aaaa bbbb the the the",
+        f"sentinel{SEP}chars{WB}stripped the dog",
+        "tokenize the documents and pack the tokens",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = {
+        r["i"]: (r["enc"], r["n"])
+        for r in df.select(
+            "i",
+            merged_encoding_col("text").alias("enc"),
+            bpe_token_count_col("text").alias("n"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        clean = t.replace(SEP, "").replace(WB, "")
+        expect_tokens = [
+            tok for w in re.findall(BPE_PATTERN, clean) for tok in classic_bpe_encode(w)
+        ]
+        expect_enc = WB.join(
+            "".join(f"{SEP}{tok}{SEP}" for tok in classic_bpe_encode(w))
+            for w in re.findall(BPE_PATTERN, clean)
+        )
+        assert rows[i][0] == expect_enc, (i, t)
+        assert rows[i][1] == len(expect_tokens), (i, t)
