@@ -1141,3 +1141,146 @@ def d11_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_membership(
         docs.filter(F.col("doc_id") < split), docs.filter(F.col("doc_id") >= split)
     )
+
+
+# --- cross-document exact substring dedup (Lee et al. style) ------------------
+
+# Fixed token-window length for substring fingerprints.  Lee et al.
+# ("Deduplicating Training Data Makes Language Models Better") remove
+# verbatim substrings of >= 50 tokens via a corpus suffix array; the
+# distributed re-expression fingerprints every WINDOW-token sliding
+# window instead — any duplicated substring of length >= WINDOW contains
+# a duplicated window, and the union of duplicated windows over-covers
+# it by < WINDOW tokens on each flank, so the removal mask converges to
+# the suffix-array answer as spans grow.  A suffix array is inherently
+# a single-machine global structure; sliding fingerprints shard.
+DUPSPAN_WINDOW = 16
+DUPSPAN_MIN_DOCS = 2
+# Same heavy-hitter bound as d07: window hashes in >= this many docs are
+# broadcast so the back-join never shuffles the hot keys (a license
+# header shared by 10⁶ docs is one join key).
+DUPSPAN_HOT_MIN_DOCS = 4096
+
+
+def coverage_union_fold(sorted_starts, window: int):
+    """|union of [s, s+window) over ascending starts| as one fold:
+    each interval contributes ``window - max(0, prev_end - s)`` new
+    tokens (prev_end <= s + window always holds for equal-length sorted
+    intervals, so the contribution is never negative). Property-tested
+    against naive set coverage in tests/test_new_ops_properties.py."""
+    init = F.struct(
+        F.lit(0).cast("long").alias("cov"), F.lit(-window).cast("long").alias("prev")
+    )
+    return F.aggregate(
+        sorted_starts,
+        init,
+        lambda acc, s: F.struct(
+            (acc["cov"] + window - F.greatest(F.lit(0).cast("long"), acc["prev"] - s)).alias("cov"),
+            (s.cast("long") + window).alias("prev"),
+        ),
+        lambda acc: acc["cov"],
+    )
+
+
+def dupspan_stats(
+    docs: DataFrame,
+    window: int = DUPSPAN_WINDOW,
+    min_docs: int = DUPSPAN_MIN_DOCS,
+    hot_min: int = DUPSPAN_HOT_MIN_DOCS,
+) -> DataFrame:
+    """Per-doc removal mask for text duplicated verbatim ACROSS
+    documents: n_dup_tokens = |union of all duplicated WINDOW-token
+    spans| (exact interval union), dup_fraction = share of the doc a
+    substring-dedup pass would remove.
+
+    Shape: sliding-window fingerprint (narrow; md5 over each window so
+    the oracle reproduces it bit-for-bit) → distinct-doc frequency per
+    fingerprint (shuffle #1, partial-agg'd) → heavy-hitter split
+    back-join (hot fingerprints broadcast, d07's pattern — AQE skew
+    split cannot cover a self-derived join) → per-doc sorted-starts
+    interval-union fold (shuffle #2 on doc_id).
+
+    The coverage union is a single F.aggregate fold over the sorted
+    start list (starts ascending ⇒ each window adds
+    ``window - max(0, prev_end - s)`` tokens) — O(dup windows) per doc,
+    no W× position explode on the Spark side; the DuckDB oracle computes
+    the same integer naively via distinct exploded positions."""
+    toks = docs.select("doc_id", norm_tokens("text").alias("ts"))
+    w = toks.filter(F.size("ts") >= window).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ts") - window)).alias("s"),
+        "ts",
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(F.array_join(F.slice("ts", F.col("s") + 1, window), " ")).alias("h"),
+    )
+    freq = w.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup = freq.filter(F.col("n_docs") >= min_docs).select("h", "n_docs")
+    hot = dup.filter(F.col("n_docs") >= hot_min)
+    tail = dup.filter(F.col("n_docs") < hot_min)
+    dupw = w.join(F.broadcast(hot.select("h")), "h").unionByName(
+        w.join(tail.select("h"), "h")
+    )
+    covered = coverage_union_fold(F.sort_array(F.collect_list("s")), window)
+    per_doc = dupw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"), covered.alias("n_dup_tokens")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.greatest(F.size("ts") - window + 1, F.lit(0)).alias("n_windows"),
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    ndup = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        ndup.alias("n_dup_tokens"),
+        F.when(F.col("n_tokens") > 0, ndup / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def _dupspan_oracle_sql(
+    window: int = DUPSPAN_WINDOW, min_docs: int = DUPSPAN_MIN_DOCS
+) -> str:
+    toks_sql = TOKENS_SQL.format(col="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({toks_sql}, t -> t <> '') AS ts FROM documents
+    ), w AS (
+      SELECT doc_id, s, md5(array_to_string(ts[s + 1 : s + {window}], ' ')) AS h
+      FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - {window} + 1)) AS s
+            FROM toks WHERE len(ts) >= {window})
+    ), freq AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY h
+    ), dupw AS (
+      SELECT doc_id, s FROM w JOIN freq USING (h) WHERE n_docs >= {min_docs}
+    ), dwc AS (
+      SELECT doc_id, count(*) AS n_dup_windows FROM dupw GROUP BY doc_id
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT pos) AS n_dup_tokens
+      FROM (SELECT doc_id, unnest(range(s, s + {window})) AS pos FROM dupw)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(ts) AS INT) AS n_tokens,
+           CAST(greatest(len(ts) - {window} + 1, 0) AS INT) AS n_windows,
+           CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CASE WHEN len(ts) > 0
+                THEN CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) / len(ts)
+                ELSE 0.0 END AS dup_fraction
+    FROM toks t
+    LEFT JOIN dwc d USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@register("d12_substring_dedup", oracle=_dupspan_oracle_sql())
+def d12_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dupspan_stats(load_table(spark, sf_dir, "documents"))

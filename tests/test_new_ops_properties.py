@@ -93,3 +93,41 @@ def test_sequence_pack_capacity(spark, sf_dir):
     # the next bin — next-fit never leaves a bin that the immediately
     # following chunk would have fit into
     assert all(v <= PACK_CAP for v in fills.values())
+
+
+def test_coverage_union_fold_matches_set_coverage(spark):
+    """d12's one-pass interval-union fold == naive position-set size for
+    arbitrary (duplicate-free, unordered) start lists."""
+    import random
+
+    from ocr_spark.operators.dedup import coverage_union_fold
+
+    rng = random.Random(7)
+    window = 16
+    cases = []
+    for i in range(200):
+        n = rng.randrange(0, 12)
+        starts = rng.sample(range(0, 60), n) if n else []
+        cases.append((i, starts))
+    df = spark.createDataFrame(cases, "i long, starts array<int>")
+    got = {
+        r.i: r.cov
+        for r in df.select(
+            "i", coverage_union_fold(F.sort_array("starts"), window).alias("cov")
+        ).collect()
+    }
+    for i, starts in cases:
+        want = len({p for s in starts for p in range(s, s + window)})
+        assert got[i] == want, (starts, got[i], want)
+
+
+def test_bpe_pack_capacity(spark, sf_dir):
+    from ocr_spark.operators.chunking import PACK_CAP
+
+    rows = QUERIES["p03_bpe_pack"](spark, sf_dir).collect()
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.pack_group, r.bin_idx)
+        fills[key] = fills.get(key, 0) + r.n_chunk_tokens
+    assert fills
+    assert all(v <= PACK_CAP for v in fills.values())

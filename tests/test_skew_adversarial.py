@@ -159,3 +159,66 @@ def test_d02_cap_is_noop_below_threshold(spark):
     capped = sorted(map(key, ngram_jaccard_pairs(docs, df_cap=1 << 30).collect()))
     free = sorted(map(key, ngram_jaccard_pairs(docs, df_cap=None).collect()))
     assert capped and capped == free
+
+
+# --- d12: heavy-hitter split on the substring-fingerprint back-join ----------
+
+
+def test_d12_hot_window_rows_never_shuffle(spark):
+    """A 16-token span shared verbatim by 90% of docs is one join key;
+    the freq back-join must route it through the explicit broadcast."""
+    from ocr_spark.operators.dedup import DUPSPAN_WINDOW, dupspan_stats
+
+    n_docs = 8000
+    shared = " ".join(f"tok{i}" for i in range(DUPSPAN_WINDOW))
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}d"), F.col("id")) for j in range(DUPSPAN_WINDOW)]
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(shared)).otherwise(uniq).alias("text"),
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = dupspan_stats(docs, hot_min=64)
+        rows = {r.doc_id: r for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert len(rows) == n_docs
+    hot_doc, cold_doc = rows[0], rows[9]
+    # the hot doc is exactly one fully-duplicated window
+    assert hot_doc.n_windows == 1 and hot_doc.n_dup_windows == 1
+    assert hot_doc.n_dup_tokens == DUPSPAN_WINDOW and hot_doc.dup_fraction == 1.0
+    # cold docs are untouched by the removal mask
+    assert cold_doc.n_dup_windows == 0 and cold_doc.n_dup_tokens == 0
+
+
+def test_d12_split_matches_unsplit(spark):
+    from ocr_spark.operators.dedup import DUPSPAN_WINDOW, dupspan_stats
+
+    shared = " ".join(f"tok{i}" for i in range(DUPSPAN_WINDOW))
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(shared + " mid"), F.col("id"), F.lit(" " + shared)
+        ).alias("text"),
+    )
+    key = lambda r: (r.doc_id, r.n_dup_windows, r.n_dup_tokens)  # noqa: E731
+    split = sorted(map(key, dupspan_stats(docs, hot_min=4).collect()))
+    nosplit = sorted(map(key, dupspan_stats(docs, hot_min=1 << 60).collect()))
+    assert split and split == nosplit
