@@ -49,58 +49,60 @@ def register(name: str, oracle: str | None = None):
 # beyond the cap keep their pytest DuckDB gate (tests/test_catalog_oracle.py)
 # and a local driver-format row in CORRECTNESS_local.json.
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-gated (absent from r01+r02) --------------------------
-    "t09_url_stats",
-    "d09_canonical_selection",
-    "e01_knn_bruteforce",
-    "e02_ann_lsh",
-    "e03_centroid_assign",
-    "e04_ivf_knn",
-    "e05_kmeans",
-    "p01_chunking",
-    "p02_sequence_pack",
-    "g01_pagerank",
-    "x01_extract_pipeline",
-    "x02_golden_match",
-    "x03_skew_report",
-    "x04_multimodal_features",
-    "x05_frame_sample",
-    "x06_audio_windows",
-    "s01_stream_tumbling",
-    "s02_stream_sessions",
-    "s03_stream_dedup",
+    # -- round-3 red row, implementation changed (must re-gate first) ------
     "s04_stream_milestones",
-    "s05_stream_extract",
-    "s06_stream_static_join",
-    "s07_stream_sliding",
-    # -- new or changed in round 3 (must re-gate) --------------------------
-    "w01_wavefront_editdist",
-    "d05_embedding_neardup",
-    "d10_neardup_exact",
-    "d04_simhash",
-    "d08_incremental_dedup",
-    "d07_dupgram_filter",
-    "t10_bm25",
-    "x08_warc_parse",
-    "w02_tiled_cholesky",
-    "t11_bpe_token_count",
-    "s08_stream_stream_join",
-    "d11_bloom_membership",
-    "t12_repetition_stats",
+    # -- new in round 4 ----------------------------------------------------
+    "t13_bpe_tokenize",
+    "p03_bpe_pack",
+    "d12_substring_dedup",
+    # -- changed since the r03 gate ran (must re-gate) ---------------------
+    "d02_ngram_jaccard",   # shingle-DF cap on the self-join key
+    "d08_incremental_dedup",  # shared midpoint split
+    "d11_bloom_membership",   # shared midpoint split
+    "e03_centroid_assign",    # window argmin -> map-side min(struct)
+    "e05_kmeans",             # window argmin -> map-side min(struct)
+    "w01_wavefront_editdist",  # ASCII-parity strip on both engines
+    "w02_tiled_cholesky",      # vectorized fixed-IEEE-order kernels
+    "t11_bpe_token_count",     # VT-safe explicit whitespace class
+    "p01_chunking",            # chunk_token_arrays refactor
+    "p02_sequence_pack",       # pack_oracle_wrap_sql refactor
+    # -- last gated in r01/r02 only (rotate back under the 50-entry cap) ---
+    "q04_order_priority",
+    "q11_set_ops",
+    "q12_semi_anti_join",
+    "q13_distinct_agg",
+    "q14_rollup",
+    "q15_scalar_funcs",
+    "q16_date_json_funcs",
+    "q17_conditional_pivot",
+    "q18_stats_agg",
+    "q19_tumbling_window",
+    "q20_asof_join",
+    "q21_approx_sketches",
+    "q22_cube",
+    "q23_percentiles",
+    "q24_correlated_subquery",
+    "q25_range_frame",
+    "q26_hash_split",
+    "q27_gap_fill",
+    "q28_range_join",
+    "q29_stratified_sample",
+    "q30_full_outer",
+    "q31_latest_per_key",
+    "q32_rank_family",
+    "q33_multiset_ops",
+    "t02_quality_score",
+    "t03_lang_guess",
+    "t04_fingerprint",
+    "t05_title_editdist",
+    "t06_langid_ngram",
+    "t07_pii_redact",
+    "t08_vocab_topk",
     # -- high-value re-confirmations (fill to the 50-entry cap) ------------
     "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    "q06_forecast_revenue",
-    "q07_topk_per_group",
-    "q08_running_total",
-    "q09_sessionize",
-    "q10_top_orders",
     "d01_exact_dedup",
     "d03_minhash_lsh",
-    "d06_dup_clusters",
-    "t01_token_stats",
+    "x01_extract_pipeline",
     "x07_pandas_udaf",
 ]
 
