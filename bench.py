@@ -94,6 +94,14 @@ HEADLINE = [
     "s08_stream_stream_join",
     "d11_bloom_membership",
     "t12_repetition_stats",
+    # -- round 4 additions -------------------------------------------------
+    "d12_substring_dedup",
+    "t13_bpe_tokenize",
+    "p03_bpe_pack",
+    "d13_benchmark_decontam",
+    "t14_blocklist_filter",
+    "t15_url_canonicalize",
+    "p04_domain_mix",
 ]
 
 

@@ -188,3 +188,89 @@ def p02_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", "n_chunk_tokens"
     )
     return pack_chunks(chunks)
+
+
+# --- domain-weighted dataset mixing -------------------------------------------
+
+# Per-domain sampling weights in thousandths (integer so the keep
+# decision is exact integer math on both engines): a three-tier mixture
+# — low-trust hosts keep 20%, mid 50%, high 90% — assigned
+# deterministically by host index.  Real pipelines read these from a
+# curation config table; the shape (small weights table joined to the
+# corpus) is identical.
+MIX_HOSTS = 97
+MIX_WEIGHTS_MILLS = (200, 500, 900)
+
+
+def domain_mix_sample(pages, weights):
+    """Deterministic domain-weighted downsampling: keep a page iff
+    hex60(url) mod 1000 < its host's weight (thousandths).  Reports
+    per-host totals so the mixture is auditable.
+
+    Scale shape: the weights config is tiny at any corpus size →
+    broadcast join, no shuffle of page rows; the keep decision is a
+    pure column expression (md5-derived, so the same page always gets
+    the same verdict — the sample is idempotent across restarts and
+    incremental crawls, the same property the north rule's
+    checkpoint/restart story relies on); the per-host audit agg
+    partial-aggregates map-side to one row per host.
+    """
+    from ocr_spark.functions.text import hex60
+
+    keep = F.pmod(hex60(F.col("url")), F.lit(1000)) < F.col("w_mills")
+    return (
+        pages.join(F.broadcast(weights), "host")
+        .select("host", "w_mills", keep.cast("int").alias("kept"))
+        .groupBy("host", "w_mills")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+def _mix_oracle_sql() -> str:
+    from ocr_spark.functions.text import hex60_sql
+
+    w = ", ".join(str(m) for m in MIX_WEIGHTS_MILLS)
+    return f"""
+    WITH pages AS (
+      SELECT 'site' || CAST(doc_id % {MIX_HOSTS} AS VARCHAR) || '.example' AS host,
+             'https://site' || CAST(doc_id % {MIX_HOSTS} AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), weights AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS host,
+             ([{w}])[CAST(k % 3 AS INT) + 1] AS w_mills
+      FROM range(0, {MIX_HOSTS}) t(k)
+    )
+    SELECT p.host, w.w_mills,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {hex60_sql('url')} % 1000 < w.w_mills
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM pages p JOIN weights w USING (host)
+    GROUP BY p.host, w.w_mills
+    """
+
+
+@register("p04_domain_mix", oracle=_mix_oracle_sql())
+def p04_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("site"), F.pmod(F.col("doc_id"), F.lit(MIX_HOSTS)).cast("string"), F.lit(".example")
+    )
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), F.lit(MIX_HOSTS)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    mills = F.array(*[F.lit(m) for m in MIX_WEIGHTS_MILLS])
+    weights = spark.range(MIX_HOSTS).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        F.element_at(mills, F.pmod(F.col("id"), F.lit(3)).cast("int") + 1).alias("w_mills"),
+    )
+    return domain_mix_sample(pages, weights)

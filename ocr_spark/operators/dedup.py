@@ -1284,3 +1284,101 @@ def _dupspan_oracle_sql(
 @register("d12_substring_dedup", oracle=_dupspan_oracle_sql())
 def d12_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dupspan_stats(load_table(spark, sf_dir, "documents"))
+
+# --- benchmark decontamination (GPT-3 appendix-C / Lee et al. style) ----------
+
+# Window length for overlap fingerprints: GPT-3's decontamination used
+# 13-gram collisions against the eval sets ("Language Models are Few-Shot
+# Learners", appendix C); the same window is standard in later pipelines
+# (PaLM, Llama).  The benchmark side here is a deterministic held-out
+# slice of the corpus itself (doc_id % DECONTAM_BENCH_MOD == 0) so both
+# engines derive the identical eval set with no external data.
+DECONTAM_WINDOW = 13
+DECONTAM_BENCH_MOD = 17
+
+
+def decontam_stats(
+    docs: DataFrame,
+    window: int = DECONTAM_WINDOW,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Per-training-doc benchmark-overlap report: n_contam_windows =
+    how many of the doc's sliding ``window``-token fingerprints occur
+    anywhere in the benchmark slice, contaminated = any such hit.
+
+    Scale shape (the canonical decontamination plan): the benchmark
+    n-gram set is SMALL BY CONSTRUCTION — eval suites are a few million
+    n-grams regardless of corpus size — so its distinct fingerprints
+    broadcast and the 10^12-doc training side never shuffles its
+    exploded windows: fingerprint (narrow) -> broadcast-hash-join ->
+    per-doc count (partial-agg'd map-side; one row per doc crosses the
+    wire).  Contrast d12 (`dupspan_stats`), where BOTH sides are the
+    corpus and a heavy-hitter split is required.
+
+    Fingerprints are md5 over the space-joined window (the d12 scheme)
+    so the DuckDB oracle reproduces them bit-for-bit.
+    """
+    toks = docs.select("doc_id", norm_tokens("text").alias("ts"))
+    w = (
+        toks.filter(F.size("ts") >= window)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("ts") - window)).alias("s"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("ts", F.col("s") + 1, window), " ")).alias("h"),
+        )
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bench_h = w.filter(is_bench).select("h").distinct()
+    hits = w.filter(~is_bench).join(F.broadcast(bench_h), "h")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contam_windows")
+    )
+    base = toks.filter(~is_bench).select(
+        "doc_id",
+        F.greatest(F.size("ts") - window + 1, F.lit(0)).alias("n_windows"),
+    )
+    nc = F.coalesce(F.col("n_contam_windows"), F.lit(0)).cast("long")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        nc.alias("n_contam_windows"),
+        (nc > 0).alias("contaminated"),
+    )
+
+
+def _decontam_oracle_sql(
+    window: int = DECONTAM_WINDOW, bench_mod: int = DECONTAM_BENCH_MOD
+) -> str:
+    toks_sql = TOKENS_SQL.format(col="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({toks_sql}, t -> t <> '') AS ts FROM documents
+    ), w AS (
+      SELECT doc_id, md5(array_to_string(ts[s + 1 : s + {window}], ' ')) AS h
+      FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - {window} + 1)) AS s
+            FROM toks WHERE len(ts) >= {window})
+    ), bench AS (
+      SELECT DISTINCT h FROM w WHERE doc_id % {bench_mod} = 0
+    ), hits AS (
+      SELECT w.doc_id, count(*) AS n_contam_windows
+      FROM w JOIN bench USING (h)
+      WHERE w.doc_id % {bench_mod} <> 0
+      GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(ts) - {window} + 1, 0) AS INT) AS n_windows,
+           CAST(COALESCE(h.n_contam_windows, 0) AS BIGINT) AS n_contam_windows,
+           COALESCE(h.n_contam_windows, 0) > 0 AS contaminated
+    FROM toks t
+    LEFT JOIN hits h USING (doc_id)
+    WHERE t.doc_id % {bench_mod} <> 0
+    """
+
+
+@register("d13_benchmark_decontam", oracle=_decontam_oracle_sql())
+def d13_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontam_stats(load_table(spark, sf_dir, "documents"))

@@ -856,3 +856,186 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def t12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- domain blocklist filtering ----------------------------------------------
+
+# Deterministic synthetic blocklist: every 7th site domain (UT1-style
+# domain lists block whole registrable domains; subdomains inherit the
+# block).  Derived from a range() on both engines — no external data.
+BLOCKLIST_MOD = 7
+SITE_HOSTS = 97  # t09's host universe
+
+
+def blocklist_filter(pages: DataFrame, blocklist: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-page domain-blocklist verdict: blocked iff the url's host OR
+    any parent domain (one label stripped; real lists are registrable-
+    domain grain so depth 1 suffices for host.domain.tld) appears in the
+    blocklist.
+
+    Scale shape: real blocklists (UT1, adult/malware lists) are a few
+    million domains — megabytes — so the list side is ALWAYS broadcast;
+    the corpus side explodes a bounded candidate-suffix array (2 rows
+    per page) and broadcast-joins with no shuffle of page rows.  The
+    left join back is on the same narrow lineage, so the whole verdict
+    is shuffle-free end to end.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    pages_h = pages.select("doc_id", host.alias("host"))
+    cand = pages_h.select(
+        "doc_id",
+        F.explode(
+            F.array(F.col("host"), F.regexp_replace("host", r"^[^.]+\.", ""))
+        ).alias("c"),
+    )
+    hits = (
+        cand.join(F.broadcast(blocklist), cand["c"] == blocklist["dom"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return pages_h.join(hits, "doc_id", "left").select(
+        "doc_id", "host", F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked")
+    )
+
+
+@register(
+    "t14_blocklist_filter",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'cdn' || CAST(doc_id % 11 AS VARCHAR) || '.' ELSE '' END
+             || 'site' || CAST(doc_id % {SITE_HOSTS} AS VARCHAR) || '.example' AS host
+      FROM documents
+    ), block AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS dom
+      FROM range(0, {SITE_HOSTS}) t(k) WHERE k % {BLOCKLIST_MOD} = 0
+    ), cand AS (
+      SELECT doc_id, unnest([host, regexp_replace(host, '^[^.]+\\.', '')]) AS c
+      FROM urls
+    ), hit AS (
+      SELECT DISTINCT doc_id FROM cand JOIN block ON c = dom
+    )
+    SELECT u.doc_id, u.host, h.doc_id IS NOT NULL AS blocked
+    FROM urls u LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def t14_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic url universe extends t09's with a deterministic cdnN.
+    subdomain tier so parent-domain (suffix) matching is exercised, not
+    just exact host equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.concat(F.lit("cdn"), F.pmod(F.col("doc_id"), F.lit(11)).cast("string"), F.lit(".")),
+            ).otherwise(F.lit("")),
+            F.lit("site"),
+            F.pmod(F.col("doc_id"), F.lit(SITE_HOSTS)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocklist = (
+        spark.range(SITE_HOSTS)
+        .filter(F.pmod(F.col("id"), F.lit(BLOCKLIST_MOD)) == 0)
+        .select(F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example")).alias("dom"))
+    )
+    return blocklist_filter(pages, blocklist)
+
+
+# --- URL canonicalization (crawl-frontier / dedup key) ------------------------
+
+
+def canonicalize_url(url) -> "F.Column":
+    """Crawl-canonical form: lowercase scheme+host, strip a leading
+    www., strip the https default port, drop the #fragment, and remove
+    utm_* tracking params (collapsing separators).  Pure regexp column
+    expressions in the Java∩RE2 common dialect — no backreferences
+    (Java writes $1 where RE2 writes \\1, so any capture-group
+    replacement would diverge cross-engine).
+    """
+    c = url if not isinstance(url, str) else F.col(url)
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(c, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":443$", ""
+    )
+    rest = F.regexp_extract(c, r"^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+    # two passes, no backrefs: utm param followed by another param keeps
+    # the leading ?/& for the successor; a trailing utm param takes its
+    # leading ?/& with it.
+    rest1 = F.regexp_replace(rest, r"utm_[a-z]+=[^&]*&", "")
+    rest2 = F.regexp_replace(rest1, r"[?&]utm_[a-z]+=[^&]*$", "")
+    return F.concat(scheme, F.lit("://"), host, rest2)
+
+
+# Path collapses pairs of docs (doc_id % 250) so canonicalization-dedup
+# is observable: n_pages > 1 for collided canonical urls.
+CANON_PATH_MOD = 250
+
+_CANON_URL_SQL = f"""
+      'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      || 'Site' || CAST(doc_id % {SITE_HOSTS} AS VARCHAR) || '.Example:443/p/'
+      || CAST(doc_id % {CANON_PATH_MOD} AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+@register(
+    "t15_url_canonicalize",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents
+    ), canon AS (
+      SELECT lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                  '^www\\.', ''), ':443$', '')
+             || regexp_replace(regexp_replace(
+                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+                  'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', '')
+             AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url, count(*) AS n_pages
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def t15_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy deterministic urls (upper-case scheme/host, www., :443,
+    utm params in leading/trailing positions, fragments) -> canonical
+    form -> per-canonical page count.  The groupBy is the only shuffle
+    and carries one row per canonical url."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Site"),
+            F.pmod(F.col("doc_id"), F.lit(SITE_HOSTS)).cast("string"),
+            F.lit(".Example:443/p/"),
+            F.pmod(F.col("doc_id"), F.lit(CANON_PATH_MOD)).cast("string"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.concat(F.lit("?utm_source=x&id="), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")),
+            )
+            .when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+                F.concat(F.lit("?id="), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"), F.lit("&utm_campaign=y")),
+            )
+            .otherwise(F.lit("")),
+            F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return urls.select(canonicalize_url(F.col("url")).alias("canonical_url")).groupBy(
+        "canonical_url"
+    ).agg(F.count(F.lit(1)).alias("n_pages"))

@@ -55,6 +55,10 @@ DRIVER_PRIORITY: list[str] = [
     "t13_bpe_tokenize",
     "p03_bpe_pack",
     "d12_substring_dedup",
+    "d13_benchmark_decontam",
+    "t14_blocklist_filter",
+    "t15_url_canonicalize",
+    "p04_domain_mix",
     # -- changed since the r03 gate ran (must re-gate) ---------------------
     "d02_ngram_jaccard",   # shingle-DF cap on the self-join key
     "d08_incremental_dedup",  # shared midpoint split
@@ -98,12 +102,10 @@ DRIVER_PRIORITY: list[str] = [
     "t06_langid_ngram",
     "t07_pii_redact",
     "t08_vocab_topk",
-    # -- high-value re-confirmations (fill to the 50-entry cap) ------------
-    "q01_pricing_summary",
-    "d01_exact_dedup",
-    "d03_minhash_lsh",
+    # -- high-value re-confirmation (fills to the 50-entry cap; the other
+    #    round-3-green fillers q01/d01/d03/x07 rotated out to make room
+    #    for the four round-4 additions above) --------------------------------
     "x01_extract_pipeline",
-    "x07_pandas_udaf",
 ]
 
 

@@ -157,3 +157,38 @@ def test_e03_e05_argmin_has_no_window_sort(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "Window" not in plan, f"{name}: window argmin crept back\n{plan[:2000]}"
         assert "partial_min" in plan or "partial min" in plan.lower(), name
+
+
+def test_d13_decontam_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination must broadcast the benchmark n-gram set (small by
+    construction at any corpus size) so the exploded training windows
+    never shuffle; the per-doc count is the only wide stage."""
+    plan = _plan(QUERIES["d13_benchmark_decontam"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_t14_blocklist_broadcasts_list_side(spark, sf_dir):
+    """Domain blocklists are megabytes at any corpus size — the list
+    side must broadcast and page rows must never shuffle for the
+    verdict."""
+    plan = _plan(QUERIES["t14_blocklist_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_t15_canonicalize_single_exchange(spark, sf_dir):
+    """URL canonicalization is pure column expressions; the per-canonical
+    count is the only exchange and it carries partial-agg'd rows."""
+    plan = _plan(QUERIES["t15_url_canonicalize"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_p04_mix_broadcasts_weights(spark, sf_dir):
+    """The mixture-weights config joins broadcast; the audit agg is the
+    only exchange."""
+    plan = _plan(QUERIES["p04_domain_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") == 1
