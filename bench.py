@@ -102,6 +102,8 @@ HEADLINE = [
     "t14_blocklist_filter",
     "t15_url_canonicalize",
     "p04_domain_mix",
+    "t16_quality_classifier",
+    "p05_curation_funnel",
 ]
 
 

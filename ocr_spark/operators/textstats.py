@@ -1039,3 +1039,88 @@ def t15_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select(canonicalize_url(F.col("url")).alias("canonical_url")).groupBy(
         "canonical_url"
     ).agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+# --- model-based quality filtering (fastText-style linear classifier) ---------
+
+# Hashed bag-of-words linear scorer: every modern curation pipeline has a
+# learned quality-filter tier (fastText in CCNet/LLaMA, DCLM's
+# classifier) distinct from the t02 heuristics.  The model here is a
+# 64-bucket hashing-trick linear layer with deterministic "trained"
+# weights derived from the bucket index (a real deployment broadcasts a
+# weights table loaded from a model artifact — the shape is identical).
+# Weights are INTEGER thousandths and the per-doc accumulation is an
+# integer sum (order-free, so the shuffle's nondeterministic reduce
+# order cannot perturb the logit); the only floating-point ops are one
+# division and one addition per doc, IEEE-identical cross-engine.
+QC_BUCKETS = 64
+QC_BIAS_MILLS = -5
+
+
+def quality_classifier(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """logit = bias + mean token weight under the hashing trick;
+    keep = logit > 0.
+
+    Scale shape: the weight table is model-sized (fixed, tiny) →
+    broadcast; token explode is narrow; the per-doc integer sum
+    partial-aggregates map-side so one row per doc crosses the wire.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(norm_tokens("text")).alias("tok")
+    ).select("doc_id", F.pmod(hex60(F.col("tok")), F.lit(QC_BUCKETS)).alias("bucket"))
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_mills").alias("sw"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    logit = F.lit(QC_BIAS_MILLS) / F.lit(1000.0) + F.col("sw") / (
+        F.lit(1000.0) * F.col("n_toks")
+    )
+    base = docs.select("doc_id")
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(logit, F.lit(QC_BIAS_MILLS / 1000.0)).alias("logit"),
+        )
+        .select("doc_id", "logit", (F.col("logit") > 0).alias("keep"))
+    )
+
+
+def _qc_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic per-bucket weights in thousandths: ((b*37) % 21 - 10) * 30."""
+    return spark.range(QC_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.pmod(F.col("id") * 37, F.lit(21)) - 10) * 30).alias("w_mills"),
+    )
+
+
+@register(
+    "t16_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter({{toks}}, t -> t <> '')) AS tok
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, {hex60_sql('tok')} % {QC_BUCKETS} AS bucket FROM toks
+    ), weights AS (
+      SELECT k AS bucket, ((k * 37) % 21 - 10) * 30 AS w_mills
+      FROM range(0, {QC_BUCKETS}) t(k)
+    ), scored AS (
+      SELECT doc_id, sum(w_mills) AS sw, count(*) AS n_toks
+      FROM feats JOIN weights USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE({QC_BIAS_MILLS} / 1000.0 + sw / (1000.0 * n_toks),
+                    {QC_BIAS_MILLS} / 1000.0) AS logit,
+           COALESCE({QC_BIAS_MILLS} / 1000.0 + sw / (1000.0 * n_toks),
+                    {QC_BIAS_MILLS} / 1000.0) > 0 AS keep
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """.replace("{toks}", TOKENS_SQL.format(col="text")),
+)
+def t16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier(docs, _qc_weights(spark))

@@ -59,6 +59,8 @@ DRIVER_PRIORITY: list[str] = [
     "t14_blocklist_filter",
     "t15_url_canonicalize",
     "p04_domain_mix",
+    "t16_quality_classifier",
+    "p05_curation_funnel",
     # -- changed since the r03 gate ran (must re-gate) ---------------------
     "d02_ngram_jaccard",   # shingle-DF cap on the self-join key
     "d08_incremental_dedup",  # shared midpoint split
@@ -98,14 +100,15 @@ DRIVER_PRIORITY: list[str] = [
     "t02_quality_score",
     "t03_lang_guess",
     "t04_fingerprint",
-    "t05_title_editdist",
+    # t05_title_editdist stays outside the cap this round: unchanged
+    # since its green r02 row, local twin green, and its edit-distance
+    # core is driver-gated via w01 (r03+r04).
     "t06_langid_ngram",
     "t07_pii_redact",
     "t08_vocab_topk",
-    # -- high-value re-confirmation (fills to the 50-entry cap; the other
-    #    round-3-green fillers q01/d01/d03/x07 rotated out to make room
-    #    for the four round-4 additions above) --------------------------------
-    "x01_extract_pipeline",
+    # (round-3-green fillers q01/d01/d03/x01/x07 rotated out to make room
+    #  for the six round-4 additions above — all five have green r03 rows
+    #  and unchanged implementations)
 ]
 
 
@@ -131,6 +134,7 @@ def load_all() -> None:
     from ocr_spark.operators import similarity  # noqa: F401
     from ocr_spark.operators import textstats  # noqa: F401
     from ocr_spark.operators import chunking  # noqa: F401
+    from ocr_spark.operators import curation  # noqa: F401
     from ocr_spark.operators import graph  # noqa: F401
     from ocr_spark.operators import wavefront  # noqa: F401
     from ocr_spark.operators import bpe  # noqa: F401

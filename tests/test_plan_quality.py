@@ -191,4 +191,24 @@ def test_p04_mix_broadcasts_weights(spark, sf_dir):
     only exchange."""
     plan = _plan(QUERIES["p04_domain_mix"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange") == 1
+    # one SHUFFLE exchange (the audit agg); the broadcast's own
+    # BroadcastExchange doesn't move page rows
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_t16_classifier_broadcasts_weights_and_combines(spark, sf_dir):
+    """The model weight table broadcasts; the per-doc logit accumulation
+    must be an integer partial aggregate (map-side combined), never a
+    float sum whose reduce order could perturb the score."""
+    plan = _plan(QUERIES["t16_quality_classifier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_p05_funnel_composition_stays_scale_shaped(spark, sf_dir):
+    """Composing four verdicts must not introduce a cartesian pairing or
+    row-wise Python; the decontam stage keeps its broadcast."""
+    plan = _plan(QUERIES["p05_curation_funnel"](spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
