@@ -222,3 +222,55 @@ def test_d12_split_matches_unsplit(spark):
     split = sorted(map(key, dupspan_stats(docs, hot_min=4).collect()))
     nosplit = sorted(map(key, dupspan_stats(docs, hot_min=1 << 60).collect()))
     assert split and split == nosplit
+
+
+# --- d13: benchmark-overlap join under a hot contaminated n-gram --------------
+
+
+def test_d13_hot_contaminated_ngram_stays_broadcast(spark):
+    """The worst decontamination skew: one benchmark 13-gram appears in
+    90% of training docs (a leaked boilerplate prompt).  The flag join
+    must still be the explicit broadcast of the benchmark set (training
+    windows never shuffle), and every carrier must be flagged."""
+    from ocr_spark.operators.dedup import DECONTAM_WINDOW, decontam_stats
+
+    n_docs = 8000
+    bench_mod = 40  # docs 0, 40, 80, ... are the held-out slice
+    leaked = " ".join(f"b{i}" for i in range(DECONTAM_WINDOW))
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}d"), F.col("id")) for j in range(DECONTAM_WINDOW)]
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when((F.col("id") % bench_mod == 0) | (F.col("id") % 10 < 9), F.lit(leaked))
+        .otherwise(uniq)
+        .alias("text"),
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = decontam_stats(docs, bench_mod=bench_mod)
+        rows = {r.doc_id: r for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # benchmark docs are excluded from the report
+    assert all(d % bench_mod != 0 for d in rows)
+    assert len(rows) == n_docs - n_docs // bench_mod
+    carriers = [r for r in rows.values() if r.contaminated]
+    # every leaked-text training doc is flagged, every unique doc is clean
+    assert all(rows[d].contaminated == (d % 10 < 9) for d in rows)
+    assert all(r.n_contam_windows == 1 for r in carriers)
