@@ -4,6 +4,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with a count() (no driver-side collect of payloads).
+Caveat (documented round 4): count() lets Catalyst prune unreferenced
+projection columns, so PURE-projection entries (per-doc selects with no
+agg/join, e.g. t13) time the scan+explode skeleton, not the full
+column compute; aggregate/join entries are unaffected (their input
+expressions must run).  The forcing method has been identical since
+round 1, so cross-round comparisons remain apples-to-apples; absolute
+walls for projection-only entries are lower bounds.
 Also runs the extraction-pipeline throughput benchmark on a generated
 synthetic page corpus (the BASELINE.json headline metric, reported as
 x01_extract_docs_per_sec; disable with SPARK_GRAFT_BENCH_EXTRACT=0).

@@ -332,6 +332,17 @@ def p03_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", bpe_token_array_col("text").alias("ts"))
+    # Tokenize-once barrier: the merged-encoding expression is ~270
+    # chained replaces (one real pass over sf0.1 costs ~2.9 s), and
+    # Catalyst re-evaluates it for every post-explode reference
+    # (measured ~2x total recompute, 6.3 s -> 3.7 s at sf0.1; the
+    # transform(array(x), f) let-binding trick is inlined away by the
+    # optimizer, so no expression-level fix exists).  A real pipeline
+    # materializes the tokenized corpus to a table between the tokenize
+    # and pack stages for exactly this reason; the self-contained entry
+    # uses localCheckpoint as that barrier.
+    toks = docs.select(
+        "doc_id", bpe_token_array_col("text").alias("ts")
+    ).localCheckpoint()
     chunks = chunk_token_arrays(toks, window=CHUNK_TOKENS, stride=CHUNK_TOKENS)
     return pack_chunks(chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"))
