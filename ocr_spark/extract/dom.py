@@ -97,14 +97,19 @@ class _BlockParser(HTMLParser):
         text = "".join(self._parts)
         stripped = text.strip()
         if stripped:
-            n_chars = len(_WS_RUN.sub("", stripped))
+            # str.split() splits on exactly the \s codepoint set (verified
+            # over all of Unicode for this CPython), so summing fragment
+            # lengths equals len(_WS_RUN.sub("", stripped)) without the
+            # regex pass + string allocation (~10% of scan time)
+            words = stripped.split()
+            n_chars = sum(map(len, words))
             self.blocks.append(
                 Block(
                     block_idx=len(self.blocks),
                     tag_path="/".join(self._stack[-6:]),
                     text=text,
                     n_chars=n_chars,
-                    n_words=len(stripped.split()),
+                    n_words=len(words),
                     n_link_chars=min(self._link_chars, n_chars),
                     n_cjk=len(_CJK_RE.findall(stripped)),
                 )
@@ -123,7 +128,8 @@ class _BlockParser(HTMLParser):
         if tag == "a":
             self._link_depth += 1
         if tag in _BLOCK_TAGS:
-            self._flush()
+            if self._parts:  # empty-parts flush is a no-op (_link_chars
+                self._flush()  # only ever advances alongside an append)
             self._stack.append(tag)
 
     def handle_endtag(self, tag: str) -> None:
@@ -133,7 +139,8 @@ class _BlockParser(HTMLParser):
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
         if tag in _BLOCK_TAGS:
-            self._flush()
+            if self._parts:
+                self._flush()
             if self._stack and self._stack[-1] == tag:
                 self._stack.pop()
             elif tag in self._stack:
@@ -143,7 +150,7 @@ class _BlockParser(HTMLParser):
                     self._stack.pop()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if tag in _BLOCK_TAGS:
+        if tag in _BLOCK_TAGS and self._parts:
             self._flush()
 
     def handle_data(self, data: str) -> None:
@@ -151,7 +158,7 @@ class _BlockParser(HTMLParser):
             return
         self._parts.append(data)
         if self._link_depth:
-            self._link_chars += len(_WS_RUN.sub("", data))
+            self._link_chars += sum(map(len, data.split()))
 
 
 def parse_blocks(raw: bytes) -> list[Block]:

@@ -127,17 +127,25 @@ def _connected_components(bm: np.ndarray) -> list[tuple[int, int, int, int]]:
     sy_l, sx_l, ex_l = sy.tolist(), sx.tolist(), (ex - 1).tolist()
     prev_row = -2
     runs: list[tuple[int, int, int]] = []
+    pi = 0  # two-pointer cursor into prev_runs (both row's runs are
+    # emitted left-to-right, so prev runs ending left of the current
+    # run's start can never overlap a later run either — the overlap
+    # scan is O(runs + prev_runs) per row instead of their product)
     for y, x0, x1 in zip(sy_l, sx_l, ex_l):
         if y != prev_row:
             prev_runs = runs if y == prev_row + 1 else []
             runs = []
             prev_row = y
+            pi = 0
         label = next_label
         parent[label] = label
         next_label += 1
-        for px0, px1, pl in prev_runs:
-            if px0 <= x1 and x0 <= px1:  # 4-connectivity overlap
-                union(pl, label)
+        while pi < len(prev_runs) and prev_runs[pi][1] < x0:
+            pi += 1
+        j = pi
+        while j < len(prev_runs) and prev_runs[j][0] <= x1:
+            union(prev_runs[j][2], label)  # 4-connectivity overlap
+            j += 1
         runs.append((x0, x1, label))
         boxes[label] = [x0, x1, y, y]
     merged: dict[int, list[int]] = {}
