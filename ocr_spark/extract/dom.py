@@ -191,6 +191,24 @@ _TAGFIND_TOL = getattr(_hp, "tagfind_tolerant", None)
 _LOCATESTART = getattr(_hp, "locatestarttagend_tolerant", None)
 _ENDTAGFIND = getattr(_hp, "endtagfind", None)
 
+# Fused start-tag regex: _LOCATESTART with a capture group wrapped
+# around its (textually identical) tag-name token, so one match yields
+# both the tag end position AND the name — halving regex work per start
+# tag vs the stdlib's locatestart-then-tagfind double match.  Built by
+# string surgery on the stdlib pattern; if a CPython upgrade rewords the
+# prefix, the surgery misses and the scanner falls back to the
+# two-match path (correct either way).
+_LOCATESTART_NAMED = None
+if _LOCATESTART is not None:
+    _name_tok = r"<[a-zA-Z][^\t\n\r\f />\x00]*"
+    if _LOCATESTART.pattern.count(_name_tok) == 1:
+        _LOCATESTART_NAMED = re.compile(
+            _LOCATESTART.pattern.replace(
+                _name_tok, r"<([a-zA-Z][^\t\n\r\f />\x00]*)", 1
+            ),
+            re.VERBOSE,
+        )
+
 
 def _probe_stdlib_cdata() -> bool:
     """True iff the running stdlib exits script/style CDATA on the strict
@@ -288,7 +306,7 @@ def _scan_tokens(html: str, h: _BlockParser) -> None:
         nxt = html[i + 1 : i + 2]
         if nxt in _ASCII_LETTERS:  # starttagopen = <[a-zA-Z]
             # --- parse_starttag + check_for_whole_start_tag ---
-            m = _LOCATESTART.match(html, i)
+            m = (_LOCATESTART_NAMED or _LOCATESTART).match(html, i)
             j = m.end()
             ch = html[j : j + 1]
             if ch == ">":
@@ -303,8 +321,10 @@ def _scan_tokens(html: str, h: _BlockParser) -> None:
                 h.handle_data(html[i:endpos])
                 i = endpos
                 continue
-            tm = _TAGFIND_TOL.match(html, i + 1)
-            tag = tm.group(1).lower()
+            if _LOCATESTART_NAMED is not None:
+                tag = m.group(1).lower()
+            else:
+                tag = _TAGFIND_TOL.match(html, i + 1).group(1).lower()
             # stdlib re-derives the '>' / '/>' terminator through the attr
             # loop; _LOCATESTART already consumed the attrs, so the
             # terminator is endpos[-1] ('>') or '/>'.
