@@ -63,7 +63,16 @@ def main() -> None:
         # Warm-up: run the full stage shape over a tiny slice so JVM JIT,
         # Arrow codepaths and one python worker per core exist before the
         # timed pass (reference analogue: machine bring-up precedes the
-        # DAG seed, ocr-driver.c:97-191 vs :225-277).
+        # DAG seed, ocr-driver.c:97-191 vs :225-277).  Also force one
+        # full untimed scan so the parquet reader's codegen is compiled
+        # AND the corpus sits in the page cache for both sizes alike —
+        # without it the first timed pass pays cold-read + scan-JIT and
+        # min-of-N needs more trials to shed it (decomposition probe:
+        # warm 16c walls are 7.8-8.0 s where cold-start runs scatter
+        # 10.8-18.6 s on this shared host).
+        from pyspark.sql import functions as _F
+
+        pages.agg(_F.sum(_F.length("html"))).collect()
         warm = pages.limit(32 * cores)
         extract_pages(warm, num_partitions=cores).count()
 
