@@ -111,6 +111,7 @@ HEADLINE = [
     "p04_domain_mix",
     "t16_quality_classifier",
     "p05_curation_funnel",
+    "x09_lineage_metrics",
 ]
 
 

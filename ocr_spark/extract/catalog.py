@@ -272,3 +272,68 @@ def x08_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.sources.warc import parse_warc
 
     return parse_warc(warc_df(spark, _N_DOCS)).orderBy("seg_id", "rec_idx")
+
+
+# --- x09: lineage / idempotent-restart machinery under the driver gate --------
+
+
+def _x09_oracle() -> str:
+    """Generator-side truth for the committed-run report: per-size-class
+    document counts (size class = clamped ceil-log2 of html bytes, the
+    partitioning module's exact formula with its n_salt=8 default ->
+    class = partition_id // 8), plus the resume-no-op flag.  Derived
+    purely from the fixture corpus — independent of Spark."""
+    from ocr_spark.operators.partitioning import DEFAULT_SALT, MAX_LOG2, MIN_LOG2  # noqa: F401
+
+    hist: dict[int, int] = {}
+    for r in _corpus().itertuples():
+        n = 0 if r.html is None else len(r.html)
+        log2 = math.ceil(math.log2(max(n, 1)))
+        cls = min(max(log2, MIN_LOG2), MAX_LOG2) - MIN_LOG2
+        hist[cls] = hist.get(cls, 0) + 1
+    rows = [(str(k), str(v), "true") for k, v in sorted(hist.items())]
+    return _values_sql(rows, "size_class, n_docs, resume_noop")
+
+
+@register("x09_lineage_metrics", oracle=_x09_oracle())
+def x09_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the north rule's checkpoint/restart machinery end to end
+    under the driver gate: a kill-simulated partial run (first 3
+    uncommitted buckets), a resuming run that completes the rest, and a
+    third run that must be a NO-OP (0 buckets — every marker already
+    committed).  The emitted report rolls committed per-partition
+    metrics up to size classes and is gated against the generator-side
+    class histogram: every fixture document accounted for exactly once
+    across the two writing runs, none recomputed by the third.
+
+    Reference analogue: the finish-latch / resume contract
+    (`/root/reference/src/event/hc/hc-event.c:223-259`) — a satisfied
+    latch never refires."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_spark.operators.lineage import read_metrics, run_extraction
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ocr_spark_x09_{key}")
+    if os.path.isdir(out):
+        shutil.rmtree(out)  # fresh run every gate invocation
+    pages = _fixture_pages(spark).select("url", "html", "text")
+    run_extraction(spark, pages, out, run_id="gate", max_buckets=3)
+    run_extraction(spark, pages, out, run_id="gate")
+    third = run_extraction(spark, pages, out, run_id="gate")
+    noop = third["buckets_processed"] == 0
+    from ocr_spark.operators.partitioning import DEFAULT_SALT
+
+    m = read_metrics(spark, out)
+    return (
+        m.filter(F.col("run_id") == "gate")
+        .groupBy(
+            (F.col("partition_id") / DEFAULT_SALT).cast("int").alias("size_class")
+        )
+        .agg(F.sum("input_count").cast("int").alias("n_docs"))
+        .select(
+            "size_class", "n_docs", F.lit(bool(noop)).alias("resume_noop")
+        )
+    )

@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "p04_domain_mix",
     "t16_quality_classifier",
     "p05_curation_funnel",
+    "x09_lineage_metrics",
     # -- changed since the r03 gate ran (must re-gate) ---------------------
     "d02_ngram_jaccard",   # shingle-DF cap on the self-join key
     "d08_incremental_dedup",  # shared midpoint split
@@ -82,7 +83,9 @@ DRIVER_PRIORITY: list[str] = [
     "q16_date_json_funcs",
     "q17_conditional_pivot",
     "q18_stats_agg",
-    "q19_tumbling_window",
+    # q19_tumbling_window stays outside the cap this round: unchanged
+    # since its green r02 row, local twin green, and its streaming twin
+    # s01 is driver-gated r03+r04.
     "q20_asof_join",
     "q21_approx_sketches",
     "q22_cube",
