@@ -121,7 +121,11 @@ def _stage_single_events_file(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # app-id in the key: two concurrent gate sessions on the same sf_dir
+    # must not rmtree each other's staged file mid-stream (ADVICE r04)
+    key = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     staging = os.path.join(tempfile.gettempdir(), f"ocr_spark_s04_{key}")
     tmp = staging + "_tmp"
     (
@@ -141,6 +145,15 @@ def _stage_single_events_file(spark: SparkSession, sf_dir: str) -> str:
     return staging
 
 
+def _duckdb_version() -> str:
+    try:
+        import duckdb
+
+        return duckdb.__version__
+    except Exception:  # noqa: BLE001 — diagnostics only
+        return "unavailable"
+
+
 def _dump_stream_debug(spark: SparkSession, query, staging: str) -> None:
     """Sidecar JSON (session confs + per-batch progress) so a future
     driver-side red row is diagnosable — VERDICT r03 'What's wrong' #1."""
@@ -154,9 +167,11 @@ def _dump_stream_debug(spark: SparkSession, query, staging: str) -> None:
                 "spark.sql.shuffle.partitions",
                 "spark.sql.execution.arrow.maxRecordsPerBatch",
                 "spark.sql.streaming.stateStore.providerClass",
+                "spark.sql.session.timeZone",
                 "spark.master",
             )
         },
+        "versions": {"spark": spark.version, "duckdb": _duckdb_version()},
         "batches": [],
     }
     for p in query.recentProgress:
@@ -188,8 +203,12 @@ def _dump_stream_debug(spark: SparkSession, query, staging: str) -> None:
              coalesce(CAST(trunc(prev_cum / {ingest.MILESTONE_CENTS}.0) AS INT), 0) AS m_before
       FROM c
     )
-    SELECT user_id, unnest(generate_series(m_before + 1, m_after)) AS milestone,
-           cum AS cum_cents
+    -- casts are load-bearing: a DuckDB windowed sum(BIGINT) is HUGEINT,
+    -- which Arrow renders decimal128 and pandas float64 ("100931.0"),
+    -- hash-mismatching Spark's BIGINT even when the sets are identical
+    SELECT user_id,
+           CAST(unnest(generate_series(m_before + 1, m_after)) AS INT) AS milestone,
+           CAST(cum AS BIGINT) AS cum_cents
     FROM crossings WHERE m_after > m_before
     """,
 )
@@ -211,8 +230,10 @@ def s04_stream_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     try:
         _dump_stream_debug(spark, q, staging)
-    except Exception:  # noqa: BLE001 — diagnostics must never fail the gate
-        pass
+    except Exception as exc:  # noqa: BLE001 — diagnostics must never fail the gate
+        import sys
+
+        print(f"s04 debug sidecar failed: {exc!r}", file=sys.stderr)
     return spark.table("s04_out")
 
 
