@@ -37,6 +37,20 @@ broadcast-variable degenerate case). The DuckDB oracle evaluates the
 IDENTICAL encode/replace/length arithmetic, so the gate covers the full
 tokenization byte-exactly (per-doc md5 of the merged encoding), not just
 counts.
+
+TWO EXECUTION MODES share this contract:
+
+* chained-replace (above) — all-JVM, exact, the oracle-replay mode the
+  DuckDB gate mirrors literally; O(n_merges) string passes per doc, so
+  usable only at demo vocabulary sizes (N_MERGES=128 here);
+* production (``bpe_tokenize_stats_production`` /
+  ``bpe_token_arrays_production``) — broadcast merge-rank table + the
+  classic per-word priority merge loop inside Arrow ``mapInPandas``
+  batches with a per-task word cache; cost independent of vocabulary
+  size, the shape a 50k-merge deployment runs (VERDICT r04 #2/#3).
+  t13/p03 gate THIS mode; tests/test_bpe.py pins the two modes
+  byte-identical (shared tok_digest) and both equal to the classic
+  GPT-2 priority loop.
 """
 
 from __future__ import annotations
@@ -221,6 +235,155 @@ def _merge_replace_sql(expr: str, merges: list[tuple[str, str]]) -> str:
 _STAGE = 32
 
 
+# --- production-vocab path: broadcast merge ranks + mapInPandas ----------------
+#
+# The chained-replace form above is O(n_merges) full passes over a ~6x
+# sentinel-encoded copy of every document — exact and all-JVM, but
+# vocabulary-bounded: a production tokenizer ships ~50k merges, and 50k
+# string passes per doc (plus a 50k-deep expression tree through the
+# analyzer) is the wrong asymptotic shape (VERDICT r04 "What's wrong"
+# #3).  The production path is the classic per-WORD priority merge loop
+# with the rank table as a real broadcast variable, run inside Arrow
+# batches via mapInPandas: cost is O(distinct words x word_len x merges
+# PRESENT IN THE WORD), independent of vocabulary size, and a per-task
+# word cache collapses Zipf-repeated words to dict lookups.  Chained
+# replace stays as the oracle-replay mode (the DuckDB gate mirrors it
+# exactly); the two are property-tested equal at the demo vocab.
+
+
+def _bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Lowest-rank-first merge loop for one pre-token (the GPT-2 ``bpe()``
+    algorithm; rank lookups against the broadcast table, so cost does
+    not depend on vocabulary size)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = None
+        best_pair = None
+        prev = sym[0]
+        for cur in sym[1:]:
+            r = ranks.get((prev, cur))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (prev, cur)
+            prev = cur
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i, n = [], 0, len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _encode_doc(
+    text: str,
+    pat,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, list[str]],
+) -> tuple[list[str], int, str]:
+    """(flat token list, n_words, sentinel encoding) for one document —
+    the encoding string is byte-identical to ``merged_encoding_col`` so
+    the two modes share the md5 digest contract."""
+    clean = text.replace(SEP, "").replace(WB, "")
+    words = pat.findall(clean)
+    toks: list[str] = []
+    parts: list[str] = []
+    for w in words:
+        t = cache.get(w)
+        if t is None:
+            t = _bpe_word(w, ranks)
+            cache[w] = t
+        toks.extend(t)
+        parts.append("".join(f"{SEP}{s}{SEP}" for s in t))
+    return toks, len(words), WB.join(parts)
+
+
+def bpe_tokenize_stats_production(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-vocab twin of ``bpe_tokenize_stats``: same 5-column
+    output (tok_digest byte-identical), built from a broadcast rank
+    table + per-word merge loop inside Arrow batches.  Scale shape: one
+    narrow MapInPandas over the corpus scan — no shuffle, no driver
+    round-trip, vocabulary ships once per executor as a broadcast."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    b_ranks = docs.sparkSession.sparkContext.broadcast(
+        {p: i for i, p in enumerate(MERGES if merges is None else merges)}
+    )
+    pat = re.compile(BPE_PATTERN)
+
+    def fn(batches):
+        ranks = b_ranks.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, n_tok, n_w, tpw, dig = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks, nw, enc = _encode_doc(text or "", pat, ranks, cache)
+                ids.append(doc_id)
+                n_tok.append(len(toks))
+                n_w.append(nw)
+                tpw.append(len(toks) / nw if nw > 0 else 0.0)
+                dig.append(hashlib.md5(enc.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bpe_tokens": pd.array(n_tok, dtype="int32"),
+                    "n_words": pd.array(n_w, dtype="int32"),
+                    "tokens_per_word": tpw,
+                    "tok_digest": dig,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        fn,
+        "doc_id long, n_bpe_tokens int, n_words int, "
+        "tokens_per_word double, tok_digest string",
+    )
+
+
+def bpe_token_arrays_production(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ts: array<string>) via the production merge loop — the
+    tokenize stage p03 packs from."""
+    import re
+
+    import pandas as pd
+
+    b_ranks = docs.sparkSession.sparkContext.broadcast(
+        {p: i for i, p in enumerate(MERGES if merges is None else merges)}
+    )
+    pat = re.compile(BPE_PATTERN)
+
+    def fn(batches):
+        ranks = b_ranks.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, arrs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks, _, _ = _encode_doc(text or "", pat, ranks, cache)
+                ids.append(doc_id)
+                arrs.append(toks)
+            yield pd.DataFrame({"doc_id": ids, "ts": arrs})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        fn, "doc_id long, ts array<string>"
+    )
+
+
 
 
 def bpe_tokenize_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -283,7 +446,12 @@ def _t13_oracle_sql() -> str:
 
 @register("t13_bpe_tokenize", oracle=_t13_oracle_sql())
 def t13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_tokenize_stats(load_table(spark, sf_dir, "documents"))
+    """Gated on the PRODUCTION path (broadcast ranks + mapInPandas) so
+    the driver exercises the code a 50k-merge deployment runs; the
+    oracle replays the chained-replace form in DuckDB, and the two
+    Spark modes are property-tested byte-identical (tests/test_bpe.py).
+    """
+    return bpe_tokenize_stats_production(load_table(spark, sf_dir, "documents"))
 
 
 def _p03_oracle_sql() -> str:
@@ -332,17 +500,15 @@ def p03_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # Tokenize-once barrier: the merged-encoding expression is ~270
-    # chained replaces (one real pass over sf0.1 costs ~2.9 s), and
-    # Catalyst re-evaluates it for every post-explode reference
-    # (measured ~2x total recompute, 6.3 s -> 3.7 s at sf0.1; the
-    # transform(array(x), f) let-binding trick is inlined away by the
-    # optimizer, so no expression-level fix exists).  A real pipeline
-    # materializes the tokenized corpus to a table between the tokenize
-    # and pack stages for exactly this reason; the self-contained entry
-    # uses localCheckpoint as that barrier.
-    toks = docs.select(
-        "doc_id", bpe_token_array_col("text").alias("ts")
-    ).localCheckpoint()
+    # Tokenize-once barrier: Catalyst re-evaluates the tokenize stage
+    # for every post-explode reference (measured ~2x total recompute at
+    # sf0.1 in the chained-replace era; a MapInPandas stage would rerun
+    # the Python batches the same way — the transform(array(x), f)
+    # let-binding trick is inlined away by the optimizer, so no
+    # expression-level fix exists).  A real pipeline materializes the
+    # tokenized corpus to a table between the tokenize and pack stages
+    # for exactly this reason; the self-contained entry uses
+    # localCheckpoint as that barrier.
+    toks = bpe_token_arrays_production(docs).localCheckpoint()
     chunks = chunk_token_arrays(toks, window=CHUNK_TOKENS, stride=CHUNK_TOKENS)
     return pack_chunks(chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"))

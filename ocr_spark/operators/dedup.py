@@ -107,8 +107,12 @@ def ngram_jaccard_pairs(
     shingles: DataFrame | None = None,
     df_cap: int | None = SHINGLE_DF_CAP,
 ) -> DataFrame:
-    """Exact Jaccard over distinct 3-gram shingles for all pairs (or only
-    ``candidates`` pairs when given — the LSH path).
+    """Capped-DF Jaccard over distinct 3-gram shingles: exact when no
+    shared shingle exceeds ``df_cap`` documents, a conservative lower
+    bound otherwise (capped shingles are excluded from the
+    intersection, and pairs overlapping ONLY through capped boilerplate
+    shingles are dropped entirely). With ``candidates`` (the LSH path)
+    or ``df_cap=None`` the score is exact Jaccard.
 
     With candidates, the shingle intersection is computed candidate-first
     (pair list joined to each side's shingles), so cost is linear in

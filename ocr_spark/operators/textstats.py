@@ -229,12 +229,20 @@ def title_neardups(docs: DataFrame, max_dist: int = 8) -> DataFrame:
 
 @register(
     "t05_title_editdist",
-    oracle="""
-    WITH t AS (
+    # Spark levenshtein counts code points, DuckDB's counts UTF-8 BYTES
+    # (levenshtein('é','') = 2) — strip non-ASCII on BOTH sides first
+    # (w01's fix, wavefront.py) so byte == codepoint and the oracle is
+    # exact on any corpus, not just the pure-ASCII testdata.
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+      FROM documents
+    ), t AS (
       SELECT doc_id,
              substr(trim(split_part(text, chr(10), 1)), 1, 64) AS title,
              substr(substr(trim(split_part(text, chr(10), 1)), 1, 64), 1, 12) AS bk
-      FROM documents
+      FROM d
       WHERE length(substr(trim(split_part(text, chr(10), 1)), 1, 64)) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -244,7 +252,10 @@ def title_neardups(docs: DataFrame, max_dist: int = 8) -> DataFrame:
     """,
 )
 def t05_title_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return title_neardups(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"[^\x00-\x7F]", "")
+    )
+    return title_neardups(docs)
 
 
 @register(
@@ -880,7 +891,9 @@ def blocklist_filter(pages: DataFrame, blocklist: DataFrame, url_col: str = "url
     left join back is on the same narrow lineage, so the whole verdict
     is shuffle-free end to end.
     """
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    # authority pattern must not require a path: https://evil.example
+    # (no trailing slash) still has a host to block (ADVICE r04)
+    host = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#]+)", 1)
     pages_h = pages.select("doc_id", host.alias("host"))
     cand = pages_h.select(
         "doc_id",
@@ -999,9 +1012,12 @@ _CANON_URL_SQL = f"""
              || regexp_replace(regexp_replace(
                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
                   '^www\\.', ''), ':443$', '')
+             -- 'g' flags are load-bearing: Spark regexp_replace is
+             -- replace-ALL, DuckDB defaults to first-match-only, and a
+             -- url can carry several utm_* params (ADVICE r04)
              || regexp_replace(regexp_replace(
                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-                  'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', '')
+                  'utm_[a-z]+=[^&]*&', '', 'g'), '[?&]utm_[a-z]+=[^&]*$', '', 'g')
              AS canonical_url
       FROM urls
     )

@@ -125,3 +125,85 @@ def test_spark_expression_matches_classic(spark):
         )
         assert rows[i][0] == expect_enc, (i, t)
         assert rows[i][1] == len(expect_tokens), (i, t)
+
+
+def test_production_word_loop_equals_classic():
+    """The broadcast-rank merge loop (_bpe_word) is the classic GPT-2
+    priority loop — including on hypothesis-style adversarial runs."""
+    from ocr_spark.operators.bpe import _bpe_word
+
+    ranks = {p: i for i, p in enumerate(MERGES)}
+    for line in SEED_CORPUS:
+        for w in re.findall(BPE_PATTERN, line):
+            assert _bpe_word(w, ranks) == classic_bpe_encode(w)
+    merges = train_bpe_merges(["ab ab aa bb aab abb abab aabb"], n_merges=16)
+    r2 = {p: i for i, p in enumerate(merges)}
+    for w in ["ababab", "aaaa", "abba", "aabbaabb", "b", ""]:
+        if w:
+            assert _bpe_word(w, r2) == classic_bpe_encode(w, merges), w
+
+
+def test_production_mode_matches_chained_replace(spark, sf_dir):
+    """The gated production path (broadcast ranks + mapInPandas) is
+    byte-identical to the chained-replace oracle-replay mode over the
+    real documents table — full 5-column frame including tok_digest."""
+    from ocr_spark.operators.bpe import (
+        bpe_tokenize_stats,
+        bpe_tokenize_stats_production,
+    )
+    from ocr_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prod = {
+        r.doc_id: (r.n_bpe_tokens, r.n_words, r.tokens_per_word, r.tok_digest)
+        for r in bpe_tokenize_stats_production(docs).collect()
+    }
+    replay = {
+        r.doc_id: (r.n_bpe_tokens, r.n_words, r.tokens_per_word, r.tok_digest)
+        for r in bpe_tokenize_stats(docs).collect()
+    }
+    assert prod == replay
+    assert len(prod) > 0
+
+
+def test_production_token_arrays_match_expression(spark):
+    """bpe_token_arrays_production == the JVM bpe_token_array_col on a
+    corpus with sentinels, empties, and repeats."""
+    from ocr_spark.operators.bpe import (
+        bpe_token_array_col,
+        bpe_token_arrays_production,
+    )
+
+    texts = [
+        "the quick brown fox",
+        "aaaa bbbb the the the",
+        f"sentinel{SEP}chars{WB}stripped the dog",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.ts for r in bpe_token_arrays_production(df).collect()}
+    want = {
+        r.doc_id: r.ts
+        for r in df.select("doc_id", bpe_token_array_col("text").alias("ts")).collect()
+    }
+    assert got == want
+
+
+def test_production_scales_past_demo_vocab(spark):
+    """At >=1k merges — where the chained-replace expression tree is
+    infeasible (analyzer depth/cost grows with vocabulary) — the
+    production path still runs and matches the classic loop."""
+    from ocr_spark.operators.bpe import bpe_tokenize_stats_production
+
+    corpus = [" ".join(ln.split()) for ln in SEED_CORPUS if ln.strip()]
+    big = train_bpe_merges(corpus * 4 + ["tokenization pipelines everywhere"], n_merges=1024)
+    assert len(big) >= 300, len(big)  # seed vocab exhausts eventually; still way past demo
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_bpe_tokens for r in bpe_tokenize_stats_production(df, merges=big).collect()}
+    for i, t in enumerate(corpus):
+        want = sum(len(classic_bpe_encode(w, big)) for w in re.findall(BPE_PATTERN, t))
+        assert rows[i] == want, (i, t)

@@ -131,3 +131,97 @@ def test_bpe_pack_capacity(spark, sf_dir):
         fills[key] = fills.get(key, 0) + r.n_chunk_tokens
     assert fills
     assert all(v <= PACK_CAP for v in fills.values())
+
+
+def test_blocklist_blocks_pathless_urls(spark):
+    """ADVICE r04: a blocked host with no path (https://evil.example)
+    must still resolve a host and be blocked."""
+    from ocr_spark.operators.textstats import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://evil.example"),
+            (2, "https://evil.example/p/1"),
+            (3, "https://cdn.evil.example?q=1"),
+            (4, "https://good.example"),
+        ],
+        "doc_id long, url string",
+    )
+    blocklist = spark.createDataFrame([("evil.example",)], "dom string")
+    got = {r.doc_id: r.blocked for r in blocklist_filter(pages, blocklist).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_canonicalize_url_multi_utm_cross_engine(spark, duck):
+    """ADVICE r04: with several utm_* params the oracle's regexp_replace
+    needs the 'g' flag to match Spark's replace-all semantics."""
+    from ocr_spark.operators.textstats import canonicalize_url
+
+    urls = [
+        "HTTPS://WWW.Site1.Example:443/p/1?utm_source=a&utm_medium=b&id=3",
+        "https://site2.example/p?id=1&utm_a=x&utm_b=y",
+        "https://site3.example/p?utm_a=x&utm_b=y#frag",
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in sdf.select(canonicalize_url("url").alias("c")).collect()]
+    want = [
+        duck.sql(
+            """
+            SELECT lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://'
+                   || regexp_replace(regexp_replace(
+                        lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\\.', ''), ':443$', '')
+                   || regexp_replace(regexp_replace(
+                        regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+                        'utm_[a-z]+=[^&]*&', '', 'g'), '[?&]utm_[a-z]+=[^&]*$', '', 'g')
+            FROM (SELECT ? AS u)
+            """,
+            params=[u],
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got == want
+    assert got[0] == "https://site1.example/p/1?id=3"
+    assert got[2] == "https://site3.example/p"
+
+
+def test_t05_editdist_nonascii_parity(spark, duck):
+    """t05's ASCII-parity strip: Spark levenshtein is codepoints, DuckDB
+    bytes — after stripping [^\\x00-\\x7F] both agree on non-ASCII
+    titles (the latent divergence VERDICT r04 'What's wrong' #4)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textstats import title_neardups
+
+    # titles share a 12-char ASCII prefix (the blocking key) and diverge
+    # in the non-ASCII region, so the pairs actually meet in one block
+    rows = [
+        (1, "Recipe blog: café latte"),
+        (2, "Recipe blog: cafe latte"),
+        (3, "Recipe blog: caffé lattè"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t + "\nbody") for i, t in rows], "doc_id long, text string"
+    )
+    stripped = docs.withColumn(
+        "text", F.regexp_replace("text", r"[^\x00-\x7F]", "")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist for r in title_neardups(stripped).collect()
+    }
+    import itertools
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = duck.sql(
+            r"""
+            SELECT levenshtein(
+                     substr(trim(regexp_replace(?, '[^\x00-\x7F]', '', 'g')), 1, 64),
+                     substr(trim(regexp_replace(?, '[^\x00-\x7F]', '', 'g')), 1, 64))
+            """,
+            params=[ta, tb],
+        ).fetchone()[0]
+        if d <= 8:
+            want[(ia, ib)] = d
+    assert want, "fixture must produce at least one in-block pair"
+    assert got == want
