@@ -112,6 +112,8 @@ HEADLINE = [
     "t16_quality_classifier",
     "p05_curation_funnel",
     "x09_lineage_metrics",
+    # -- round 5 additions -------------------------------------------------
+    "p06_shard_writer",
 ]
 
 

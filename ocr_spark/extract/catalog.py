@@ -315,7 +315,11 @@ def x09_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ocr_spark.operators.lineage import read_metrics, run_extraction
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # app-id in the key: concurrent gate sessions must not rmtree each
+    # other's in-progress run directory (ADVICE r04)
+    key = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ocr_spark_x09_{key}")
     if os.path.isdir(out):
         shutil.rmtree(out)  # fresh run every gate invocation

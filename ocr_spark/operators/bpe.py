@@ -454,20 +454,16 @@ def t13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize_stats_production(load_table(spark, sf_dir, "documents"))
 
 
-def _p03_oracle_sql() -> str:
-    """p02's next-fit packing recursion over TRUE merged-BPE token
-    chunks (non-overlapping CHUNK_TOKENS windows) — the exact context
-    budget a training pipeline packs by, VERDICT r03 missing #3."""
+def bpe_chunk_ctes_sql() -> str:
+    """DuckDB CTE chain ending in ``chunks(doc_id, chunk_idx, n,
+    pack_group)`` over the true merged-BPE tokenization — shared by the
+    p03 packing oracle and the p06 shard-manifest oracle."""
     from ocr_spark.functions.text import hex60_sql
-    from ocr_spark.operators.chunking import (
-        CHUNK_TOKENS,
-        PACK_GROUPS,
-        pack_oracle_wrap_sql,
-    )
+    from ocr_spark.operators.chunking import CHUNK_TOKENS, PACK_GROUPS
 
     enc_ctes, last = _encoding_ctes_sql()
     grp = f"{hex60_sql('CAST(doc_id AS VARCHAR)')} % {PACK_GROUPS}"
-    return pack_oracle_wrap_sql(f"""{enc_ctes}, toks AS (
+    return f"""{enc_ctes}, toks AS (
       SELECT doc_id,
              list_filter(string_split(enc, {_SEP_SQL}),
                          t -> t <> '' AND t <> {_WB_SQL}) AS ts
@@ -482,7 +478,16 @@ def _p03_oracle_sql() -> str:
              CAST(len(ts[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT) AS n,
              CAST({grp} AS INT) AS pack_group
       FROM starts
-    )""")
+    )"""
+
+
+def _p03_oracle_sql() -> str:
+    """p02's next-fit packing recursion over TRUE merged-BPE token
+    chunks (non-overlapping CHUNK_TOKENS windows) — the exact context
+    budget a training pipeline packs by, VERDICT r03 missing #3."""
+    from ocr_spark.operators.chunking import pack_oracle_wrap_sql
+
+    return pack_oracle_wrap_sql(bpe_chunk_ctes_sql())
 
 
 @register("p03_bpe_pack", oracle=_p03_oracle_sql())

@@ -137,12 +137,13 @@ def pack_chunks(chunks: DataFrame) -> DataFrame:
     )
 
 
-def pack_oracle_wrap_sql(chunk_ctes: str) -> str:
-    """Wrap any CTE chain ending in ``chunks(doc_id, chunk_idx, n,
-    pack_group)`` with the deterministic next-fit packing recursion —
-    shared by p02 (word chunks) and p03 (true-BPE chunks)."""
-    return f"""
-    WITH RECURSIVE {chunk_ctes}, g AS (
+def pack_packed_ctes_sql(chunk_ctes: str) -> str:
+    """CTE body (for a WITH RECURSIVE) extending any chain ending in
+    ``chunks(doc_id, chunk_idx, n, pack_group)`` with the deterministic
+    next-fit packing recursion, ending in CTE ``packed(doc_id,
+    chunk_idx, pack_group, bin_idx, n_chunk_tokens)`` — shared by
+    p02/p03 (the final packed frame) and p06 (shard rollup)."""
+    return f"""{chunk_ctes}, g AS (
       SELECT *, CAST(row_number() OVER (PARTITION BY pack_group
                      ORDER BY doc_id, chunk_idx) AS INT) AS rn
       FROM chunks
@@ -155,10 +156,19 @@ def pack_oracle_wrap_sql(chunk_ctes: str) -> str:
              CASE WHEN p.running + g.n > {PACK_CAP} THEN g.n
                   ELSE p.running + g.n END
       FROM pack p JOIN g ON g.pack_group = p.pack_group AND g.rn = p.rn + 1
-    )
-    SELECT g.doc_id, g.chunk_idx, g.pack_group,
-           CAST(p.bin_idx AS INT) AS bin_idx, g.n AS n_chunk_tokens
-    FROM g JOIN pack p ON p.pack_group = g.pack_group AND p.rn = g.rn
+    ), packed AS (
+      SELECT g.doc_id, g.chunk_idx, g.pack_group,
+             CAST(p.bin_idx AS INT) AS bin_idx, g.n AS n_chunk_tokens
+      FROM g JOIN pack p ON p.pack_group = g.pack_group AND p.rn = g.rn
+    )"""
+
+
+def pack_oracle_wrap_sql(chunk_ctes: str) -> str:
+    """Full packing oracle over any ``chunks`` CTE chain."""
+    return f"""
+    WITH RECURSIVE {pack_packed_ctes_sql(chunk_ctes)}
+    SELECT doc_id, chunk_idx, pack_group, bin_idx, n_chunk_tokens
+    FROM packed
     """
 
 

@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None = None):
 # round (they must re-gate), then high-value re-confirmations.  Entries
 # beyond the cap keep their pytest DuckDB gate (tests/test_catalog_oracle.py)
 # and a local driver-format row in CORRECTNESS_local.json.
-DRIVER_PRIORITY: list[str] = [
+DRIVER_PRIORITY_R4: list[str] = [
     # -- round-3 red row, implementation changed (must re-gate first) ------
     "s04_stream_milestones",
     # -- new in round 4 ----------------------------------------------------
@@ -114,6 +114,72 @@ DRIVER_PRIORITY: list[str] = [
     #  and unchanged implementations)
 ]
 
+# Round-5 rotation (judge item #7: no green row may age past two rounds).
+# Order: the two entries without a green driver row (s04's oracle-typing
+# fix, the new p06), then every entry whose implementation or oracle
+# changed this round, then the two r02-stale rows, then the ENTIRE
+# r03-cohort (latest green r03 — 40 entries, 39 after e04 moved up),
+# then two r04 re-confirmations to fill the 50-entry cap.  The r04
+# cohort (latest green r04, unchanged) stays outside — covered by the
+# pytest DuckDB gate and CORRECTNESS_local.json.
+DRIVER_PRIORITY: list[str] = [
+    # -- no green driver row yet -------------------------------------------
+    "s04_stream_milestones",  # r03+r04 red: oracle HUGEINT typing, now CAST
+    "p06_shard_writer",       # new in round 5
+    # -- changed in round 5 (must re-gate) ----------------------------------
+    "t13_bpe_tokenize",       # now gates the mapInPandas production path
+    "p03_bpe_pack",           # consumes bpe_token_arrays_production
+    "t05_title_editdist",     # ASCII-parity strip (also r02-stale)
+    "t14_blocklist_filter",   # pathless-authority host regex
+    "t15_url_canonicalize",   # oracle 'g' flags
+    "e04_ivf_knn",            # routing de-shuffled (broadcast centroid array)
+    # -- r02-stale ----------------------------------------------------------
+    "q19_tumbling_window",
+    # -- r03 cohort (entire) --------------------------------------------------
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "d06_dup_clusters",
+    "d07_dupgram_filter",
+    "d09_canonical_selection",
+    "d10_neardup_exact",
+    "e01_knn_bruteforce",
+    "e02_ann_lsh",
+    "g01_pagerank",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_topk_per_group",
+    "q08_running_total",
+    "q09_sessionize",
+    "q10_top_orders",
+    "s01_stream_tumbling",
+    "s02_stream_sessions",
+    "s03_stream_dedup",
+    "s05_stream_extract",
+    "s06_stream_static_join",
+    "s07_stream_sliding",
+    "s08_stream_stream_join",
+    "t01_token_stats",
+    "t09_url_stats",
+    "t10_bm25",
+    "t12_repetition_stats",
+    "x01_extract_pipeline",
+    "x02_golden_match",
+    "x03_skew_report",
+    "x04_multimodal_features",
+    "x05_frame_sample",
+    "x06_audio_windows",
+    "x07_pandas_udaf",
+    "x08_warc_parse",
+    # -- r04 re-confirmations filling the cap --------------------------------
+    "d02_ngram_jaccard",      # docstring-contract reword this round
+    "e05_kmeans",             # wall-drift watch item (probe recorded)
+]
+
 
 def _reorder() -> None:
     """Rebuild QUERIES/ORACLE in DRIVER_PRIORITY-first order (in place —
@@ -141,6 +207,7 @@ def load_all() -> None:
     from ocr_spark.operators import graph  # noqa: F401
     from ocr_spark.operators import wavefront  # noqa: F401
     from ocr_spark.operators import bpe  # noqa: F401
+    from ocr_spark.operators import shards  # noqa: F401
     from ocr_spark.operators import tiled_cholesky  # noqa: F401
     from ocr_spark.extract import catalog  # noqa: F401
     from ocr_spark.streaming import catalog as streaming_catalog  # noqa: F401

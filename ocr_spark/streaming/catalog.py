@@ -254,10 +254,15 @@ def s05_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.extract.catalog import _N_DOCS
     from ocr_spark.fixtures import pages_df
 
-    # staging dir is keyed by the fixture doc count so an _N_DOCS change
-    # (or a concurrent run at a different size) can never serve stale
-    # pages whose oracle no longer matches
-    staging = os.path.join(tempfile.gettempdir(), f"ocr_spark_s05_pages_{_N_DOCS}")
+    # staging dir is keyed by the fixture doc count (an _N_DOCS change
+    # can never serve stale pages whose oracle no longer matches) AND by
+    # the application id (two concurrent sessions must not race the
+    # initial overwrite write — ADVICE r04's staging-dir finding)
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_s05_pages_{_N_DOCS}_"
+        f"{spark.sparkContext.applicationId.replace(':', '_')}",
+    )
     marker = os.path.join(staging, "_SUCCESS")
     if not os.path.exists(marker):
         pages_df(spark, _N_DOCS).write.mode("overwrite").parquet(staging)
