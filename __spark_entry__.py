@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose the full ocr_spark catalog — 93 entries, 92
+``oracle_sql()`` expose the full ocr_spark catalog — 95 entries, 94
 oracle-gated, one per implemented operator (see COVERAGE.md for the
 SURVEY.md §2 map and ocr_spark/plans/__init__.py for the registry).
 Catalog order is driver-gate-aware: the gate samples the first 50

@@ -114,6 +114,8 @@ HEADLINE = [
     "x09_lineage_metrics",
     # -- round 5 additions -------------------------------------------------
     "p06_shard_writer",
+    "t17_lm_likelihood",
+    "p07_training_order",
 ]
 
 

@@ -284,3 +284,122 @@ def p04_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(mills, F.pmod(F.col("id"), F.lit(3)).cast("int") + 1).alias("w_mills"),
     )
     return domain_mix_sample(pages, weights)
+
+
+# --- deterministic training-order shuffle (p07) -------------------------------
+
+# A training run consumes the corpus in a pseudo-random order that must
+# be (a) reproducible run-to-run (data-parallel workers slice the order
+# by step index, so all of them must derive the SAME permutation), (b)
+# fresh per epoch, and (c) source-interleaved so no training window is a
+# single-source block. The naive expression — row_number() OVER (ORDER
+# BY hash) — forces every row through ONE partition; the per-source
+# variant — PARTITION BY source — creates one giant partition per
+# source (sources are few). Neither survives 100 TB.
+ORDER_EPOCHS = 2
+ORDER_BUCKETS = 64
+
+
+def training_order(
+    docs: DataFrame,
+    epochs: int = ORDER_EPOCHS,
+    buckets: int = ORDER_BUCKETS,
+) -> DataFrame:
+    """Per-epoch deterministic shuffle with source interleave, computed
+    as a bucketed two-phase rank so no partition exceeds ~1/buckets of
+    its source:
+
+    1. every (epoch, doc) gets a shuffle hash h = hex60(epoch ':'
+       doc_id) and a bucket = h mod buckets;
+    2. bucket sizes aggregate to a dimension-sized (epochs x sources x
+       buckets) offset table — exclusive cumsum over bucket within
+       (epoch, source) — which broadcast-joins back;
+    3. rank within (epoch, source, bucket) is a window over ~n/buckets
+       rows; global per-source rank = offset + within-bucket rank, an
+       identity with row_number() ordered by (bucket, h, doc_id) — the
+       oracle checks exactly that equivalence;
+    4. sources interleave arithmetically: global_step = rank *
+       n_sources + src_idx, so consecutive steps rotate sources without
+       any cross-source exchange.
+
+    Raising `buckets` is the only scale knob (4096 at 100 TB); the
+    offset table stays broadcastable (epochs x sources x buckets rows).
+    """
+    from pyspark.sql import Window as W
+
+    from ocr_spark.functions.text import hex60
+
+    e = (
+        docs.select("doc_id", "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))))
+        .withColumn(
+            "h",
+            hex60(
+                F.concat_ws(
+                    ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+                )
+            ),
+        )
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(buckets)).cast("int"))
+    )
+    counts = e.groupBy("epoch", "source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_off = W.partitionBy("epoch", "source").orderBy("bucket")
+    offsets = counts.select(
+        "epoch",
+        "source",
+        "bucket",
+        (F.sum("n").over(w_off) - F.col("n")).alias("off"),
+    )
+    w_rank = W.partitionBy("epoch", "source", "bucket").orderBy("h", "doc_id")
+    ranked = e.join(F.broadcast(offsets), ["epoch", "source", "bucket"]).withColumn(
+        "rk", F.row_number().over(w_rank)
+    )
+    # dimension-table windows: single-partition by construction, but they
+    # run over the distinct-source aggregate (a handful of rows), never
+    # the corpus — the plan test pins that distinction
+    w_src = W.partitionBy(F.lit(1)).orderBy("source")
+    w_all = W.partitionBy(F.lit(1))
+    dim = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(w_src) - 1).alias("src_idx"),
+            F.count(F.lit(1)).over(w_all).alias("n_src"),
+        )
+    )
+    return ranked.join(F.broadcast(dim), "source").select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        "source",
+        ((F.col("off") + F.col("rk") - 1) * F.col("n_src") + F.col("src_idx"))
+        .cast("long")
+        .alias("global_step"),
+    )
+
+
+def _order_oracle_sql() -> str:
+    from ocr_spark.functions.text import hex60_sql
+
+    h = hex60_sql("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH e AS (
+      SELECT doc_id, source, CAST(epoch AS INT) AS epoch, {h} AS h
+      FROM documents, range(0, {ORDER_EPOCHS}) t(epoch)
+    ), dim AS (
+      SELECT source,
+             row_number() OVER (ORDER BY source) - 1 AS src_idx,
+             count(*) OVER () AS n_src
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT epoch, doc_id, e.source,
+           CAST((row_number() OVER (PARTITION BY epoch, e.source
+                                    ORDER BY h % {ORDER_BUCKETS}, h, doc_id) - 1)
+                * n_src + src_idx AS BIGINT) AS global_step
+    FROM e JOIN dim ON e.source = dim.source
+    """
+
+
+@register("p07_training_order", oracle=_order_oracle_sql())
+def p07_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_order(load_table(spark, sf_dir, "documents"))

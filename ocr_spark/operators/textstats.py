@@ -13,7 +13,7 @@ Oracle portability notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import TOKENS_SQL, hex60, hex60_sql, norm_tokens
@@ -1140,3 +1140,122 @@ def _qc_weights(spark: SparkSession) -> DataFrame:
 def t16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quality_classifier(docs, _qc_weights(spark))
+
+
+# --- n-gram LM likelihood scoring (CCNet tier) --------------------------------
+
+# Pruned-LM size and fixed-point scale. CCNet scores documents by
+# perplexity under a KenLM model trained on a trusted corpus and drops
+# the tail; the cross-engine-exact analogue here replaces log-space
+# float perplexity with integer conditional-frequency mills (floor
+# division only — no transcendental whose last ulp could differ between
+# libm and DuckDB), and the KenLM pruning step with a top-K bigram
+# table. Unseen bigrams score 0 mills (the smoothing floor).
+LM_TOPK = 2048
+LM_SCALE = 1_000_000
+
+
+def _bigrams(tokens: Column) -> Column:
+    """Adjacent word-bigram strings from a token array; [] under 2 tokens.
+
+    DuckDB twin: ``[ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]``.
+    """
+    idx = F.when(
+        F.size(tokens) >= 2, F.sequence(F.lit(1), F.size(tokens) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(tokens, i), F.element_at(tokens, i + 1)
+        ),
+    )
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len({ts}) >= 2 THEN "
+    "[{ts}[i] || ' ' || {ts}[i+1] FOR i IN range(1, len({ts}))] "
+    "ELSE [] END"
+)
+
+
+def lm_likelihood(docs: DataFrame, topk: int = LM_TOPK) -> DataFrame:
+    """Per-doc n-gram LM likelihood score in integer mills.
+
+    Model build: corpus bigram occurrences aggregate twice (by bigram,
+    by prefix word) — both map-side-combined exchanges carry one row per
+    distinct key per mapper; the pruned model is the global top-K
+    bigrams by count, taken with ``orderBy().limit()`` so Catalyst plans
+    ``TakeOrderedAndProject`` (per-partition partial top-K, no full-sort
+    shuffle), each carrying mills = floor(SCALE * c(w1 w2) / c(w1 ·)).
+    Scoring: the corpus explodes its bigrams (narrow), broadcast-joins
+    the K-row model, and folds back to one row per doc (partial agg).
+    The only corpus-sized exchange is the doc_id fold; the model is
+    driver-bounded at K rows. Docs with <2 tokens score -1 ("no
+    evidence"), distinct from a genuine 0 ("all bigrams unseen").
+    """
+    bgs = docs.select("doc_id", F.explode(_bigrams(norm_tokens("text"))).alias("bg"))
+    occ = bgs.select("bg", F.substring_index("bg", " ", 1).alias("w1"))
+    c2 = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    model = (
+        c2.join(c1, "w1")
+        .orderBy(F.desc("n2"), F.asc("bg"))
+        .limit(topk)
+        .select("bg", F.expr(f"({LM_SCALE} * n2) div n1").alias("mills"))
+    )
+    scored = (
+        bgs.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("mills"), F.lit(0))).alias("sm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sm div n_bigrams").alias("lm_mills"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("lm_mills", F.lit(-1).cast("long")).alias("lm_mills"),
+        )
+    )
+
+
+@register(
+    "t17_lm_likelihood",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents
+    ), bgs AS (
+      SELECT doc_id, unnest({_BIGRAMS_SQL.format(ts='ts')}) AS bg FROM t
+    ), occ AS (
+      SELECT bg, split_part(bg, ' ', 1) AS w1 FROM bgs
+    ), c2 AS (
+      SELECT bg, w1, count(*) AS n2 FROM occ GROUP BY bg, w1
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM occ GROUP BY w1
+    ), model AS (
+      SELECT bg, ({LM_SCALE} * n2) // n1 AS mills
+      FROM c2 JOIN c1 USING (w1)
+      ORDER BY n2 DESC, bg ASC LIMIT {LM_TOPK}
+    ), scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_bigrams,
+             CAST(sum(COALESCE(mills, 0)) AS BIGINT)
+               // count(*) AS lm_mills
+      FROM bgs LEFT JOIN model USING (bg) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           CAST(COALESCE(lm_mills, -1) AS BIGINT) AS lm_mills
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def t17_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_likelihood(load_table(spark, sf_dir, "documents"))

@@ -115,17 +115,19 @@ DRIVER_PRIORITY_R4: list[str] = [
 ]
 
 # Round-5 rotation (judge item #7: no green row may age past two rounds).
-# Order: the two entries without a green driver row (s04's oracle-typing
-# fix, the new p06), then every entry whose implementation or oracle
-# changed this round, then the two r02-stale rows, then the ENTIRE
-# r03-cohort (latest green r03 — 40 entries, 39 after e04 moved up),
-# then two r04 re-confirmations to fill the 50-entry cap.  The r04
-# cohort (latest green r04, unchanged) stays outside — covered by the
-# pytest DuckDB gate and CORRECTNESS_local.json.
+# Order: the entries without a green driver row (s04's oracle-typing
+# fix, the new p06/t17/p07), then every entry whose implementation or
+# oracle changed this round, then the two r02-stale rows, then the
+# ENTIRE r03-cohort (latest green r03 — 40 entries, 39 after e04 moved
+# up), filling the 50-entry cap exactly.  The r04 cohort (latest green
+# r04, unchanged) stays outside — covered by the pytest DuckDB gate and
+# CORRECTNESS_local.json.
 DRIVER_PRIORITY: list[str] = [
     # -- no green driver row yet -------------------------------------------
     "s04_stream_milestones",  # r03+r04 red: oracle HUGEINT typing, now CAST
     "p06_shard_writer",       # new in round 5
+    "t17_lm_likelihood",      # new in round 5
+    "p07_training_order",     # new in round 5
     # -- changed in round 5 (must re-gate) ----------------------------------
     "t13_bpe_tokenize",       # now gates the mapInPandas production path
     "p03_bpe_pack",           # consumes bpe_token_arrays_production
@@ -175,9 +177,10 @@ DRIVER_PRIORITY: list[str] = [
     "x06_audio_windows",
     "x07_pandas_udaf",
     "x08_warc_parse",
-    # -- r04 re-confirmations filling the cap --------------------------------
-    "d02_ngram_jaccard",      # docstring-contract reword this round
-    "e05_kmeans",             # wall-drift watch item (probe recorded)
+    # (r04 re-confirmation fillers d02/e05 rotated out for the two new
+    #  round-5 entries t17/p07 above — both have green r04 rows and
+    #  behavior-identical implementations this round: d02's change is a
+    #  docstring reword, e05's an isolated-probe record.)
 ]
 
 

@@ -227,3 +227,36 @@ def test_p05_funnel_composition_stays_scale_shaped(spark, sf_dir):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_t17_lm_model_is_takeordered_and_broadcast(spark, sf_dir):
+    """The pruned-LM build must plan the global top-K as
+    TakeOrderedAndProject (per-partition partial top-K, no full-sort
+    exchange of the distinct-bigram table), and scoring must join the
+    K-row model via broadcast with an integer partial aggregate —
+    reduce-order-free, like t16."""
+    plan = _plan(QUERIES["t17_lm_likelihood"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_p07_order_windows_are_bucketed(spark, sf_dir):
+    """The training-order rank must never window over a whole source:
+    every corpus-sized Window partitions by (epoch, source, bucket); the
+    only coarser windows run on the dimension tables (bucket-offset
+    cumsum over epochs x sources x buckets rows, source-index over
+    distinct sources). Offsets and the source dim join back via
+    broadcast."""
+    df = QUERIES["p07_training_order"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    win_ops = [ln for ln in plan.splitlines() if "Window [" in ln]
+    # corpus-sized windows are the ones ranking doc rows (they reference
+    # doc_id); dim windows (offset cumsum, source index) never do
+    corpus_wins = [ln for ln in win_ops if "doc_id" in ln]
+    assert corpus_wins, "expected a per-bucket rank window"
+    bad = [ln for ln in corpus_wins if "bucket" not in ln]
+    assert not bad, f"corpus-sized window without bucket key:\n{bad}"
