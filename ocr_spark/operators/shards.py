@@ -125,9 +125,17 @@ def write_shards(
     if not todo:
         return {"run_id": run_id, "shards_processed": 0}
 
+    # The todo set is data-sized (19.5k shards in the 192k-doc E2E,
+    # millions at 100 TB), so it travels as a broadcast DataFrame and a
+    # semi-join — never as an O(|todo|) literal IN expression built on
+    # the driver.
+    todo_df = F.broadcast(
+        spark.createDataFrame([(s,) for s in todo], "shard_id string")
+    )
+
     # 1) data first — dynamic overwrite touches only the todo shards
     (
-        assigned.filter(F.col("shard_id").isin(todo))
+        assigned.join(todo_df, "shard_id", "left_semi")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard_id")
@@ -135,8 +143,8 @@ def write_shards(
     )
 
     # 2) markers second, derived from what is actually on disk
-    written = spark.read.parquet(_data_path(out_dir)).filter(
-        F.col("shard_id").isin(todo)
+    written = spark.read.parquet(_data_path(out_dir)).join(
+        todo_df, "shard_id", "left_semi"
     )
     new_rows = (
         written.groupBy("shard_id", "pack_group", "shard_idx")
