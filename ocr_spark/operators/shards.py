@@ -40,6 +40,14 @@ from ocr_spark.plans import register
 
 SHARD_TOKENS = 4096  # shard budget in true-BPE tokens (64 full PACK_CAP bins)
 
+# The driver-gate entry uses a 4x budget: the protocol under test
+# (assignment determinism, todo-set resume, disk-derived markers) is
+# shard-count-independent, and the sf0.1 bench otherwise spends its
+# wall writing ~2k tiny partition directories. The E2E harness
+# (tools/shard_job.py) and the unit tests keep the small 4096 budget
+# where many boundaries = better coverage.
+GATE_SHARD_TOKENS = 4 * SHARD_TOKENS
+
 
 def _data_path(out_dir: str) -> str:
     return os.path.join(out_dir, "shards")
@@ -196,7 +204,7 @@ def _p06_oracle_sql() -> str:
       SELECT pack_group, n_chunks, bin_tokens,
              CAST(floor((sum(bin_tokens) OVER (PARTITION BY pack_group
                            ORDER BY bin_idx) - bin_tokens)
-                        / {SHARD_TOKENS}.0) AS INT) AS shard_idx
+                        / {GATE_SHARD_TOKENS}.0) AS INT) AS shard_idx
       FROM bins
     )
     SELECT pack_group, shard_idx,
@@ -240,11 +248,22 @@ def p06_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = bpe_token_arrays_production(docs).localCheckpoint()
     chunks = chunk_token_arrays(toks, window=CHUNK_TOKENS, stride=CHUNK_TOKENS)
-    packed = pack_chunks(chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"))
+    # checkpoint the packed frame once: the three protocol runs below
+    # exercise the manifest/todo/marker machinery, not the packer, and
+    # without the barrier each write_shards call re-runs the Arrow
+    # packing pass (the E2E harness in tools/shard_job.py still covers
+    # the real fresh-JVM resume where the packer IS recomputed)
+    packed = pack_chunks(
+        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
+    ).localCheckpoint()
 
-    write_shards(spark, packed, out, run_id="gate", max_shards=3)
-    write_shards(spark, packed, out, run_id="gate")
-    third = write_shards(spark, packed, out, run_id="gate")
+    write_shards(
+        spark, packed, out, run_id="gate", shard_tokens=GATE_SHARD_TOKENS, max_shards=3
+    )
+    write_shards(spark, packed, out, run_id="gate", shard_tokens=GATE_SHARD_TOKENS)
+    third = write_shards(
+        spark, packed, out, run_id="gate", shard_tokens=GATE_SHARD_TOKENS
+    )
     noop = third["shards_processed"] == 0
 
     m = read_manifest(spark, out)
