@@ -386,6 +386,149 @@ def bpe_token_arrays_production(
 
 
 
+# --- t18: distributed BPE merge TRAINING ---------------------------------------
+#
+# t13/p03 APPLY a trained merge table; a pipeline that ships its own
+# tokenizer must also LEARN one from the corpus.  Classic BPE training
+# (Sennrich et al. 2016) is inherently sequential in the merge ranks —
+# merge k+1's counts depend on merge k — so the distributed shape is:
+#
+#   1. ONE corpus-sized exchange: pre-token frequencies
+#      (explode + groupBy(word), map-side combined).  Everything after
+#      runs on the distinct-word table, which Heaps' law bounds at a
+#      tiny fraction of corpus size (and which is checkpointed, so the
+#      corpus scan happens exactly once at any corpus scale).
+#   2. Per merge round, on the word table only: adjacent-pair counts
+#      weighted by word frequency (struct explode + map-side-combined
+#      agg), the argmax via orderBy().limit(1) — Catalyst plans
+#      TakeOrderedAndProject (per-partition partial top-1, no full
+#      sort) — and a single-row collect (control-plane scalar read,
+#      the d06/e05 convergence pattern).
+#   3. Merge application = ONE builtin replace on the sentinel-encoded
+#      word column (the t13 encoding: every symbol owns both its SEP
+#      delimiters, so replace-all IS the classic left-to-right
+#      non-overlapping merge — same property the t13 proof pins).
+#      localCheckpoint every _TRAIN_CKPT rounds truncates the growing
+#      replace chain.
+#
+# At a 50k-merge production vocabulary the per-round full pair recount
+# becomes the bottleneck; the standard fix (incremental count
+# maintenance: only words CONTAINING the just-merged pair change any
+# pair count, so each round joins a delta instead of recounting) keeps
+# the same plan shapes and is noted here as the scale path.  The demo
+# entry learns N_TRAIN_MERGES = 32 on the 200-doc fixture corpus and is
+# gated against `train_bpe_merges` (the pure-Python classic trainer
+# above) as a literal-VALUES oracle — independent truth, x-family
+# style, sf-independent by design.
+#
+# Tie-break parity: highest count, then lexicographically smallest
+# (a, b).  Python tuple order compares code points; Spark's UTF8_BINARY
+# string order compares UTF-8 bytes — identical orderings, because
+# UTF-8 byte order preserves code-point order across all of Unicode.
+
+N_TRAIN_MERGES = 32
+_TRAIN_CKPT = 8
+_TRAIN_DOCS = 200
+
+
+def distributed_bpe_train(
+    docs: DataFrame,
+    n_merges: int = N_TRAIN_MERGES,
+    text_col: str = "text",
+    word_partitions: int | None = None,
+) -> DataFrame:
+    """Learn a BPE merge table from a corpus, distributed. Returns
+    (rank int, lhs string, rhs string) — rank order matches the classic
+    trainer exactly (count desc, pair asc tie-break).
+
+    ``word_partitions`` sizes the iterated word table (demo corpora
+    coalesce small; at real scale leave None and let the groupBy's
+    shuffle partitioning stand)."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(_clean_col(text_col), F.lit(BPE_PATTERN), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc0 = F.regexp_replace(F.col("w"), "(.)", SEP + "$1" + SEP)
+    wt = words.select(enc0.alias("enc"), "freq")
+    if word_partitions is not None:
+        wt = wt.coalesce(word_partitions)
+    wt = wt.localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for k in range(n_merges):
+        syms = F.filter(F.split("enc", SEP), lambda t: t != F.lit(""))
+        cur = wt.select("freq", syms.alias("syms")).where(F.size("syms") >= 2)
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        wt = wt.select(
+            F.replace(
+                "enc",
+                F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+                F.lit(f"{SEP}{a}{b}{SEP}"),
+            ).alias("enc"),
+            "freq",
+        )
+        if (k + 1) % _TRAIN_CKPT == 0:
+            wt = wt.localCheckpoint()
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+
+
+def _train_texts() -> list[str]:
+    from ocr_spark.fixtures import gen_corpus
+
+    return [g.decode("utf-8") for g in gen_corpus(_TRAIN_DOCS)["golden_text"]]
+
+
+def _t18_oracle() -> str:
+    def sq(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    ref = train_bpe_merges(_train_texts(), N_TRAIN_MERGES)
+    vals = ",\n      ".join(
+        f"(CAST({i} AS INT), {sq(a)}, {sq(b)})" for i, (a, b) in enumerate(ref)
+    )
+    return f"SELECT * FROM (VALUES\n      {vals}\n    ) AS t(rank, lhs, rhs)"
+
+
+@register("t18_bpe_train", oracle=_t18_oracle())
+def t18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning on the deterministic fixture
+    corpus (the extraction goldens — train the tokenizer on what the
+    pipeline extracts), gated against the pure-Python classic trainer.
+    sf-independent by design, like the x-family: the oracle is
+    generator-side truth, not a recompute."""
+    texts = _train_texts()
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    return distributed_bpe_train(docs, N_TRAIN_MERGES, word_partitions=4)
+
+
 def bpe_tokenize_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc true-BPE stats: merged token count, pre-token (word)
     count, merged-tokens-per-word, and the md5 of the merged encoding —

@@ -207,3 +207,90 @@ def test_production_scales_past_demo_vocab(spark):
     for i, t in enumerate(corpus):
         want = sum(len(classic_bpe_encode(w, big)) for w in re.findall(BPE_PATTERN, t))
         assert rows[i] == want, (i, t)
+
+
+# --- t18: distributed BPE merge training ------------------------------------
+
+
+def test_distributed_train_matches_classic_on_seed_corpus(spark):
+    """The distributed trainer learns the SAME merge list (same ranks,
+    same tie-breaks) as the pure-Python classic trainer."""
+    from ocr_spark.operators.bpe import distributed_bpe_train
+
+    texts = [ln for ln in SEED_CORPUS if ln.strip()]
+    want = train_bpe_merges(texts, n_merges=40)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.lhs, r.rhs)
+        for r in distributed_bpe_train(df, 40, word_partitions=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_distributed_train_tie_breaks_and_overlaps(spark):
+    """Adversarial corpus: overlapping self-pairs (aaaa -> (a,a) counted
+    3x, merged non-overlapping left-to-right) and exact count ties that
+    only the lexicographic (a, b) tie-break resolves."""
+    from ocr_spark.operators.bpe import distributed_bpe_train
+
+    texts = ["aaaa bbbb aaaa bbbb", "zz yy zz yy xx", "cdcd dcdc cddc"]
+    want = train_bpe_merges(texts, n_merges=12)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.lhs, r.rhs)
+        for r in distributed_bpe_train(df, 12, word_partitions=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_distributed_train_unicode_parity(spark):
+    """Non-ASCII corpora: Spark's UTF8_BINARY tie-break order must equal
+    Python's code-point tuple order (UTF-8 byte order is code-point
+    order), and the (.) char split must agree with Python's tuple()."""
+    from ocr_spark.operators.bpe import distributed_bpe_train
+
+    texts = ["日本語の文章 日本語の文章 正確で速い", "中文网页正文 中文网页", "éèêë éèê ü"]
+    want = train_bpe_merges(texts, n_merges=16)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.lhs, r.rhs)
+        for r in distributed_bpe_train(df, 16, word_partitions=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_trained_merges_feed_the_encoder(spark):
+    """Lifecycle closure: merges learned by the distributed trainer
+    drive the production encoder to the same tokens as the classic
+    priority loop under the same table."""
+    from ocr_spark.operators.bpe import (
+        bpe_tokenize_stats_production,
+        distributed_bpe_train,
+    )
+
+    texts = [ln for ln in SEED_CORPUS if ln.strip()]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    learned = [
+        (r.lhs, r.rhs)
+        for r in distributed_bpe_train(df, 24, word_partitions=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_tokenize_stats_production(docs, merges=learned).collect()
+    }
+    for i, t in enumerate(texts):
+        want = sum(
+            len(classic_bpe_encode(w, learned)) for w in re.findall(BPE_PATTERN, t)
+        )
+        assert rows[i] == want, (i, t)
