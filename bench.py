@@ -116,6 +116,8 @@ HEADLINE = [
     "p06_shard_writer",
     "t17_lm_likelihood",
     "p07_training_order",
+    "t18_bpe_train",
+    "d14_semantic_dedup",
 ]
 
 

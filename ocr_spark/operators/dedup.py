@@ -1386,3 +1386,130 @@ def _decontam_oracle_sql(
 @register("d13_benchmark_decontam", oracle=_decontam_oracle_sql())
 def d13_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- d14: semantic dedup (SemDeDup) -------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune cosine near-duplicates WITHIN each
+    cluster, keeping the member farthest from its centroid (the paper's
+    keep-the-outlier rule; deterministic tie-break on vec_id).
+
+    Scale shape: assignment is the e04 routing — centroids fold into a
+    ONE-ROW broadcast array and every vector argmins per-row (no
+    Window, no exchange of the n x k scored set); the only corpus-sized
+    exchange is the within-cell self-join on the cell id, whose
+    quadratic cost is bounded by the cell size — SemDeDup's design
+    point is that k grows with the corpus so |cell| stays budgeted
+    (oversized cells would take d05's sign-LSH sub-bucketing).  All
+    cosine arithmetic is the sequential F.aggregate fold, bit-equal to
+    DuckDB's list kernels, so the oracle compares raw doubles exactly.
+
+    Returns one row per vector: (vec_id, cell, cc_micros, keep) —
+    cc_micros = floor(1e6 x cos(vector, assigned centroid)).
+    """
+    from ocr_spark.functions.vectors import cosine_similarity
+    from ocr_spark.operators.similarity import label_centroids
+
+    cent_row = F.broadcast(
+        label_centroids(emb).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("label").alias("cell"), F.col("centroid"))
+                )
+            ).alias("cents")
+        )
+    )
+    scores = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                (-cosine_similarity(F.col("embedding"), c["centroid"])).alias("nc"),
+                c["cell"].alias("cl"),
+            ),
+        )
+    )
+    m = (
+        emb.crossJoin(cent_row)
+        .select("vec_id", "embedding", F.element_at(scores, 1).alias("best"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.cl").cast("int").alias("cell"),
+            (-F.col("best.nc")).alias("cc"),
+        )
+    )
+    a = m.select(
+        "cell",
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+        F.col("cc").alias("cca"),
+    )
+    b = m.select(
+        "cell",
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+        F.col("cc").alias("ccb"),
+    )
+    drops = (
+        a.join(b, "cell")
+        .where(F.col("i") != F.col("j"))
+        .where(cosine_similarity(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .where(
+            (F.col("cca") < F.col("ccb"))
+            | ((F.col("cca") == F.col("ccb")) & (F.col("i") < F.col("j")))
+        )
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.floor(F.col("cc") * F.lit(1000000.0)).cast("bigint").alias("cc_micros"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def _semdedup_oracle_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    return f"""
+    WITH pos AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos)
+      GROUP BY label
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, CAST(c.label AS INT) AS cell,
+             list_cosine_similarity(e.embedding, c.centroid) AS cc
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+                 c.label ASC) = 1
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+        AND (a.cc < b.cc OR (a.cc = b.cc AND a.vec_id < b.vec_id))
+    )
+    SELECT m.vec_id, m.cell,
+           CAST(floor(m.cc * 1000000.0) AS BIGINT) AS cc_micros,
+           (d.vec_id IS NULL) AS keep
+    FROM assign m LEFT JOIN drops d USING (vec_id)
+    """
+
+
+@register("d14_semantic_dedup", oracle=_semdedup_oracle_sql())
+def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))

@@ -260,3 +260,14 @@ def test_p07_order_windows_are_bucketed(spark, sf_dir):
     assert corpus_wins, "expected a per-bucket rank window"
     bad = [ln for ln in corpus_wins if "bucket" not in ln]
     assert not bad, f"corpus-sized window without bucket key:\n{bad}"
+
+
+def test_d14_semdedup_is_window_free_and_cell_bounded(spark, sf_dir):
+    """d14's assignment must ride the e04 routing (per-row argmin over
+    the one-row broadcast centroid array — no Window, no exchange of
+    the n x k scored set); the only corpus-sized exchange is the
+    within-cell self-join, and no row-wise Python appears anywhere."""
+    plan = _plan(QUERIES["d14_semantic_dedup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid fold
