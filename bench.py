@@ -118,6 +118,8 @@ HEADLINE = [
     "p07_training_order",
     "t18_bpe_train",
     "d14_semantic_dedup",
+    "p08_importance_resample",
+    "p09_perplexity_buckets",
 ]
 
 

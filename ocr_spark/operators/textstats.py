@@ -1227,10 +1227,11 @@ def lm_likelihood(docs: DataFrame, topk: int = LM_TOPK) -> DataFrame:
     )
 
 
-@register(
-    "t17_lm_likelihood",
-    oracle=f"""
-    WITH t AS (
+# Shared oracle CTE chain ending in `lmscore(doc_id, n_bigrams, lm_mills)`
+# — one row per document, -1 lm_mills for docs with <2 tokens. Reused by
+# the t17 gate and the CCNet perplexity-bucket split (p09).
+LM_SCORED_CTES = f"""
+    t AS (
       SELECT doc_id, {_TOKS} AS ts FROM documents
     ), bgs AS (
       SELECT doc_id, unnest({_BIGRAMS_SQL.format(ts='ts')}) AS bg FROM t
@@ -1250,11 +1251,20 @@ def lm_likelihood(docs: DataFrame, topk: int = LM_TOPK) -> DataFrame:
              CAST(sum(COALESCE(mills, 0)) AS BIGINT)
                // count(*) AS lm_mills
       FROM bgs LEFT JOIN model USING (bg) GROUP BY doc_id
+    ), lmscore AS (
+      SELECT d.doc_id,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             CAST(COALESCE(lm_mills, -1) AS BIGINT) AS lm_mills
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     )
-    SELECT d.doc_id,
-           COALESCE(n_bigrams, 0) AS n_bigrams,
-           CAST(COALESCE(lm_mills, -1) AS BIGINT) AS lm_mills
-    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+@register(
+    "t17_lm_likelihood",
+    oracle=f"""
+    WITH {LM_SCORED_CTES}
+    SELECT doc_id, n_bigrams, lm_mills FROM lmscore
     """,
 )
 def t17_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:

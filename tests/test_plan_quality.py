@@ -262,6 +262,30 @@ def test_p07_order_windows_are_bucketed(spark, sf_dir):
     assert not bad, f"corpus-sized window without bucket key:\n{bad}"
 
 
+def test_p08_dsir_scoring_is_broadcast_and_fold_only(spark, sf_dir):
+    """p08's scoring join must broadcast the B-row ratio table (never
+    shuffle the exploded gram stream on the bucket key), the 1-row
+    totals/max folds ride BroadcastNestedLoopJoin, and no Window or
+    row-wise Python appears anywhere."""
+    plan = _plan(QUERIES["p08_importance_resample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_p09_threshold_window_rides_count_table(spark, sf_dir):
+    """p09's tercile window must run over the compressed
+    (lang, lm_mills) count table — every Window in the plan sits above
+    a HashAggregate, never directly on the corpus scan — and the
+    threshold/model joins broadcast."""
+    plan = _plan(QUERIES["p09_perplexity_buckets"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the one Exchange feeding the Window carries the count-table key
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "lm_mills" in ln]
+    assert win_lines, "expected the tercile window keyed on lm_mills"
+
+
 def test_d14_semdedup_is_window_free_and_cell_bounded(spark, sf_dir):
     """d14's assignment must ride the e04 routing (per-row argmin over
     the one-row broadcast centroid array — no Window, no exchange of
