@@ -267,7 +267,15 @@ def test_p08_dsir_scoring_is_broadcast_and_fold_only(spark, sf_dir):
     shuffle the exploded gram stream on the bucket key), the 1-row
     totals/max folds ride BroadcastNestedLoopJoin, and no Window or
     row-wise Python appears anywhere."""
-    plan = _plan(QUERIES["p08_importance_resample"](spark, sf_dir))
+    from ocr_spark.operators.curation import importance_resample
+    from ocr_spark.sources.io import load_table
+
+    # barrier=False exposes the full logical plan (the gate path
+    # localCheckpoints the reused intermediates, hiding the upstream
+    # stages behind LogicalRDD scans)
+    plan = _plan(
+        importance_resample(load_table(spark, sf_dir, "documents"), barrier=False)
+    )
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
