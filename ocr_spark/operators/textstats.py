@@ -551,8 +551,11 @@ def url_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     crawl curation (host budgets, per-site dedup). Pure regexp column
     expressions (the pattern is in the Java∩RE2 dialect so the oracle
     replicates it literally); one map-side-combined aggregate."""
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
-    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1)
+    # authority pattern (t14/t15's): resolves a host even for pathless
+    # URLs like https://host — the old ^[a-z]+://([^/]+)/ required a
+    # trailing slash and silently yielded '' for them
+    host = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/?#]+(/.*)$", 1)
     return (
         pages.select(host.alias("host"), path.alias("path"))
         .groupBy("host")
@@ -572,8 +575,8 @@ def url_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
              || CAST(doc_id AS VARCHAR) || '/v' || CAST(doc_id % 3 AS VARCHAR) AS url
       FROM documents
     ), u AS (
-      SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
-             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+      SELECT regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/.*)$', 1) AS path
       FROM urls
     )
     SELECT host, count(*) AS n_pages,
@@ -1193,7 +1196,13 @@ def lm_likelihood(docs: DataFrame, topk: int = LM_TOPK) -> DataFrame:
     driver-bounded at K rows. Docs with <2 tokens score -1 ("no
     evidence"), distinct from a genuine 0 ("all bigrams unseen").
     """
-    bgs = docs.select("doc_id", F.explode(_bigrams(norm_tokens("text"))).alias("bg"))
+    # token array pre-projected into a bound column before the bigram
+    # HOF — a lambda over the raw split expression re-evaluates it per
+    # element (the p08 lambda-CSE trap, O(tokens^2) when the plan
+    # context stops hiding it)
+    bgs = docs.select("doc_id", norm_tokens("text").alias("ts")).select(
+        "doc_id", F.explode(_bigrams(F.col("ts"))).alias("bg")
+    )
     occ = bgs.select("bg", F.substring_index("bg", " ", 1).alias("w1"))
     c2 = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
     c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
