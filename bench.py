@@ -120,6 +120,7 @@ HEADLINE = [
     "d14_semantic_dedup",
     "p08_importance_resample",
     "p09_perplexity_buckets",
+    "d15_segment_dedup",
 ]
 
 

@@ -1513,3 +1513,131 @@ def _semdedup_oracle_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:
 @register("d14_semantic_dedup", oracle=_semdedup_oracle_sql())
 def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- d15: segment-level corpus dedup (C4 line removal) -------------------------
+
+SEGDEDUP_W = 8
+SEGDEDUP_DF_CAP = 3
+
+
+def segment_dedup(
+    docs: DataFrame, w: int = SEGDEDUP_W, cap: int = SEGDEDUP_DF_CAP
+) -> DataFrame:
+    """Corpus-frequency segment removal with document reconstruction —
+    C4's "remove any line occurring ≥N times in the corpus" (Raffel et
+    al. 2020 §2.2) / RefinedWeb line dedup, at fixed ``w``-token
+    segment grain (the synthetic corpus has no newlines; a real crawl
+    would split on them instead).
+
+    Scale shape: segments shuffle ONCE (distinct (hash, doc) →
+    per-hash distinct-doc frequency, both map-side combined — the
+    d01/d07 grain); the boilerplate set (df ≥ cap) is
+    heavy-hitter-sized at any corpus scale and broadcasts back onto
+    the segment stream, so the removal verdict never reshuffles the
+    corpus; the rebuild is one per-doc fold (collect_list of surviving
+    (idx, seg) structs → array_sort → join), i.e. the same single
+    corpus exchange every dedup entry already pays.  The token array
+    is pre-projected into a bound column before the segmenting HOF
+    (the p08 lambda-CSE lesson).
+
+    Returns one row per doc: (doc_id, n_segments, n_removed,
+    clean_md5) where clean_md5 = md5 of the surviving segments joined
+    in order by single spaces (md5('') when nothing survives).
+    """
+    base = docs.select("doc_id", norm_tokens("text").alias("ts"))
+    ts = F.col("ts")
+    idxs = F.when(
+        F.size(ts) > 0,
+        F.sequence(F.lit(0), F.ceil(F.size(ts) / F.lit(w)).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    seg_arr = F.transform(
+        idxs, lambda i: F.array_join(F.slice(ts, i * w + 1, w), " ")
+    )
+    segs = base.select(
+        "doc_id", F.posexplode(seg_arr).alias("idx", "seg")
+    ).withColumn("h", F.md5("seg"))
+    hot = (
+        segs.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= cap)
+        .select("h", F.lit(True).alias("is_hot"))
+    )
+    marked = segs.join(F.broadcast(hot), "h", "left").withColumn(
+        "is_hot", F.coalesce(F.col("is_hot"), F.lit(False))
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum(F.col("is_hot").cast("int")).cast("int").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_hot"),
+                                F.struct(F.col("idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def _segment_dedup_oracle_sql(
+    w: int = SEGDEDUP_W, cap: int = SEGDEDUP_DF_CAP
+) -> str:
+    from ocr_spark.operators.textstats import _TOKS
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents
+    ), seg AS (
+      SELECT doc_id, s AS idx,
+             array_to_string(ts[s*{w}+1 : s*{w}+{w}], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(0, CAST(ceil(len(ts) / {w}.0) AS INT))) AS s
+            FROM t)
+    ), k AS (
+      SELECT doc_id, idx, seg, md5(seg) AS h FROM seg
+    ), hot AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM k GROUP BY h)
+      WHERE df >= {cap}
+    ), m AS (
+      SELECT k.*, (hot.h IS NOT NULL) AS is_hot
+      FROM k LEFT JOIN hot ON k.h = hot.h
+    ), pd AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+             CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS INT) AS n_removed,
+             md5(COALESCE(
+               string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE NOT is_hot),
+               '')) AS clean_md5
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_segments, 0) AS n_segments,
+           COALESCE(n_removed, 0) AS n_removed,
+           COALESCE(clean_md5, md5('')) AS clean_md5
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
+
+@register("d15_segment_dedup", oracle=_segment_dedup_oracle_sql())
+def d15_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_dedup(load_table(spark, sf_dir, "documents"))

@@ -132,6 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "d14_semantic_dedup",     # new in round 5
     "p08_importance_resample",  # new in round 5
     "p09_perplexity_buckets",   # new in round 5
+    "d15_segment_dedup",        # new in round 5
     # -- changed in round 5 (must re-gate) ----------------------------------
     "t13_bpe_tokenize",       # now gates the mapInPandas production path
     "p03_bpe_pack",           # consumes bpe_token_arrays_production

@@ -294,6 +294,17 @@ def test_p09_threshold_window_rides_count_table(spark, sf_dir):
     assert win_lines, "expected the tercile window keyed on lm_mills"
 
 
+def test_d15_boilerplate_set_broadcasts_back(spark, sf_dir):
+    """d15's removal verdict must come from a broadcast of the
+    cap-filtered boilerplate set (the segment stream reshuffles only
+    for the frequency count and the per-doc rebuild), with no Window
+    and no row-wise Python."""
+    plan = _plan(QUERIES["d15_segment_dedup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_d14_semdedup_is_window_free_and_cell_bounded(spark, sf_dir):
     """d14's assignment must ride the e04 routing (per-row argmin over
     the one-row broadcast centroid array — no Window, no exchange of
